@@ -1,0 +1,178 @@
+"""Configuration dataclasses — the engine's user-extension surface.
+
+The reference exposes its knobs as module-level dicts (stopword lists
+``pre_processing.py:14-29``, field map ``compare_ldu_hw.py:27-48``,
+algorithm dispatch ``compare_ldu_hw.py:66-76``, thresholds/multipliers
+``main_ldu_hw.py:340-363``, match masks ``main_ldu_hw.py:408-420`` /
+``main_ldu_ldu.py:263-274``).  Here every one of those is a serializable
+dataclass so a run manifest can record the exact configuration (config
+hash → idempotent stage resume).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+# NLTK English stopword list (public; the reference builds its set from
+# nltk.corpus.stopwords plus '&', pre_processing.py:14-29).  Hard-coded so
+# the sealed container needs no corpus download.
+ENGLISH_STOPWORDS: frozenset[str] = frozenset(
+    """a about above after again against all am an and any are aren as at be
+    because been before being below between both but by can cannot could
+    couldn d did didn do does doesn doing don down during each few for from
+    further had hadn has hasn have haven having he her here hers herself him
+    himself his how i if in into is isn it its itself just ll m ma me
+    mightn more most mustn my myself needn no nor not now o of off on once
+    only or other our ours ourselves out over own re s same shan she should
+    shouldn so some such t than that the their theirs them themselves then
+    there these they this those through to too under until up ve very was
+    wasn we were weren what when where which while who whom why will with
+    won wouldn y you your yours yourself yourselves &""".split()
+)
+
+
+@dataclass(frozen=True)
+class NormalizerConfig:
+    """Text normalization knobs (analog of pre_processing.py:48-79).
+
+    ``normalize_text``: lower-case → strip non-alphanumeric → tokenize →
+    stopword-filter → (optionally) sort tokens → join.  The token sort makes
+    comparison order-insensitive (pre_processing.py:53); at conversation
+    level the same property is what absorbs whole-turn reordering.
+    """
+
+    stopwords: frozenset[str] = ENGLISH_STOPWORDS
+    sort_tokens: bool = True
+    lowercase: bool = True
+    # tokens shorter than this are kept (reference keeps all post-stopword
+    # tokens; min_token_len=1 reproduces that)
+    min_token_len: int = 1
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """MinHash sketch of the conversation token set.
+
+    Deterministic: fixed seed → fixed permutation parameters, so N-CPU and
+    4N-CPU runs are byte-identical (SURVEY §7 determinism requirement).
+    """
+
+    num_perm: int = 64
+    seed: int = 0x5EED_1D  # fixed; never RNG at runtime
+
+
+@dataclass(frozen=True)
+class BlockingConfig:
+    """LSH-band + prefix/phonetic blocking keys (SURVEY §2.4 J1/J2 replacement).
+
+    ``bands * rows_per_band`` must equal ``MinHashConfig.num_perm``.
+    ``prefix`` key = phonetic code of the alphabetically-first token of the
+    normalized conversation text — the "reference blocking key" at which the
+    F1 gate is evaluated (analog of the reference's 'only matching
+    countries' advice, README.md:245).
+    ``max_block_records``: blocks larger than this are salted (triangle
+    scheme) so within-block pair enumeration stays bounded; counts logged.
+    """
+
+    bands: int = 16
+    rows_per_band: int = 4
+    use_prefix_key: bool = True
+    max_block_records: int = 256
+    max_salt: int = 16  # upper bound on sub-block fan-out per hot key
+
+
+@dataclass(frozen=True)
+class ScoringConfig:
+    """Weighted-threshold score combination (main_ldu_hw.py:330-382 shape).
+
+    ``score = Σ_f value_f * multiplier_f * (value_f >= threshold_f)`` —
+    the reference's exact rule shape, over the transcript feature set.
+    Missing feature → similarity 0 (README.md:169).
+    """
+
+    thresholds: dict[str, float] = field(
+        default_factory=lambda: {
+            "jac_text": 0.5,
+            "jw_text": 0.5,
+            "jw_role": 0.5,
+            "jw_tool": 0.25,
+            "ts_sim": 0.25,
+            "nturns_sim": 0.5,
+            "minhash_est": 0.5,
+        }
+    )
+    multipliers: dict[str, float] = field(
+        default_factory=lambda: {
+            "jac_text": 2.0,
+            "jw_text": 1.5,
+            "jw_role": 0.5,
+            "jw_tool": 0.5,
+            "ts_sim": 0.25,
+            "nturns_sim": 0.25,
+            "minhash_est": 1.0,
+        }
+    )
+    # Jaro-Winkler on very long concatenated text is O(L^2); cap the compared
+    # prefix (the normalized text is token-sorted so prefixes are stable).
+    jw_text_max_chars: int = 128
+    # timestamp-gap feature: ts_sim = exp(-|Δts_min| / tau)
+    ts_tau_seconds: float = 7 * 24 * 3600.0
+
+
+@dataclass(frozen=True)
+class RuleConfig:
+    """Disjunctive match masks (main_ldu_ldu.py:263-274 shape, self-dedup).
+
+    A pair is a match iff at least one mask holds.  Mask cardinalities are
+    emitted as counters (A5).
+    """
+
+    # mask 1: combined score alone
+    score_high: float = 4.6
+    # mask 2: decent score ∧ text matches ∧ a sequence feature corroborates
+    score_mid: float = 2.6
+    jac_text_mid: float = 0.45
+    seq_corroborate: float = 0.8  # jw_role, jw_tool or jw_text
+    # mask 3: decent score ∧ all "context" features strong
+    ctx_ts: float = 0.9
+    ctx_nturns: float = 0.9
+    ctx_jw_text: float = 0.9
+    # mask 4: perfect text match
+    # (jac_text == 1) | (jw_text == 1)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end dedup pipeline configuration + physical knobs."""
+
+    normalizer: NormalizerConfig = field(default_factory=NormalizerConfig)
+    minhash: MinHashConfig = field(default_factory=MinHashConfig)
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    scoring: ScoringConfig = field(default_factory=ScoringConfig)
+    rules: RuleConfig = field(default_factory=RuleConfig)
+
+    # physical execution knobs
+    feature_partitions: int = 64  # hash partitions for per-conv aggregation
+    pair_partitions: int = 64  # hash partitions for pair dedup
+    scorer_concurrency: tuple[int, int] = (2, 8)  # actor pool (min, max)
+    scorer_batch_size: int = 4096
+    normalize_batch_size: int = 65536
+    max_unionfind_rounds: int = 12
+
+    def config_hash(self) -> str:
+        """Stable hash of the full config, recorded in stage manifests."""
+        blob = json.dumps(_to_jsonable(asdict(self)), sort_keys=True)
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def _to_jsonable(obj):
+    if isinstance(obj, dict):
+        return {str(k): _to_jsonable(v) for k, v in sorted(obj.items(), key=lambda kv: str(kv[0]))}
+    if isinstance(obj, (list, tuple)):
+        return [_to_jsonable(v) for v in obj]
+    if isinstance(obj, frozenset):
+        return sorted(obj)
+    return obj

@@ -1,0 +1,118 @@
+"""Vectorized text normalizers (reference semantics: pre_processing.py:48-79).
+
+The reference applies per-cell Python normalizers with ``Series.apply``
+(pre_processing.py:176-213).  Here the same semantics run vectorized in
+polars/Arrow over whole batches — lower-case → strip non-alphanumeric →
+tokenize → stopword-filter → (optionally) sort tokens → join — with Arrow
+nulls propagated (missing stays missing; missing → similarity 0 downstream,
+README.md:169).
+
+Both the sorted variant (``normalize_name``/``normalize_address``,
+pre_processing.py:48-65) and the unsorted variant (``normalize_email``,
+pre_processing.py:73-79) exist; ``normalize_number`` (digits only,
+pre_processing.py:68-70) is ``extract_digits``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+from record_linkage_ldu_ray.config import NormalizerConfig
+
+_NON_ALNUM = r"[^a-z0-9]+"
+
+
+def _to_polars(arr) -> pl.Series:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, type=pa.string())
+    return pl.from_arrow(arr)
+
+
+def normalize_tokens(arr, cfg: NormalizerConfig = NormalizerConfig()) -> pl.Series:
+    """String array → list<string> of normalized tokens (polars Series).
+
+    Vectorized polars pipeline; null in → null out.
+    """
+    s = _to_polars(arr)
+    if cfg.lowercase:
+        s = s.str.to_lowercase()
+    s = s.str.replace_all(_NON_ALNUM, " ").str.strip_chars()
+    toks = s.str.split(" ")
+    stop = list(cfg.stopwords)
+    expr = pl.element().filter(
+        (~pl.element().is_in(stop))
+        & (pl.element().str.len_chars() >= max(1, cfg.min_token_len))
+    )
+    toks = toks.list.eval(expr)
+    if cfg.sort_tokens:
+        toks = toks.list.sort()
+    return toks
+
+
+def normalize_text(arr, cfg: NormalizerConfig = NormalizerConfig()) -> pa.Array:
+    """Full normalizer: tokens re-joined with single spaces (Arrow out)."""
+    joined = normalize_tokens(arr, cfg).list.join(" ")
+    out = joined.to_arrow()
+    return out.cast(pa.string()) if not pa.types.is_string(out.type) else out
+
+
+def extract_digits(arr) -> pa.Array:
+    """normalize_number analog: keep digits only (pre_processing.py:68-70)."""
+    s = _to_polars(arr).str.replace_all(r"[^0-9]", "")
+    out = s.to_arrow()
+    return out.cast(pa.string()) if not pa.types.is_string(out.type) else out
+
+
+def strip_float_suffix(arr) -> pa.Array:
+    """validate_strings analog: cast to str, strip a trailing '.0'
+    (main_ldu_hw.py:17-21).  Kept only for reference-parity fixtures —
+    typed Arrow schemas make it unnecessary in the engine proper."""
+    s = _to_polars(arr).cast(pl.Utf8).str.replace(r"\.0$", "")
+    out = s.to_arrow()
+    return out.cast(pa.string()) if not pa.types.is_string(out.type) else out
+
+
+_SOUNDEX_MAP = {
+    **dict.fromkeys("bfpv", "1"),
+    **dict.fromkeys("cgjkqsxz", "2"),
+    **dict.fromkeys("dt", "3"),
+    "l": "4",
+    **dict.fromkeys("mn", "5"),
+    "r": "6",
+}
+
+
+def soundex(token: str) -> str:
+    """Classic 4-char Soundex of a lower-case token; '' for empty/non-alpha.
+
+    Used for the phonetic/prefix blocking key (graft of the reference's
+    'only matching countries' blocking advice, README.md:245).
+    """
+    t = [c for c in token.lower() if c.isalpha()]
+    if not t:
+        return ""
+    first = t[0]
+    digits = [_SOUNDEX_MAP.get(c, "") for c in t]
+    out = [first.upper()]
+    prev = digits[0]
+    for d in digits[1:]:
+        if d and d != prev:
+            out.append(d)
+        prev = d
+        if len(out) == 4:
+            break
+    return ("".join(out) + "000")[:4]
+
+
+def soundex_array(tokens: np.ndarray | list[str]) -> np.ndarray:
+    """Soundex over an array of tokens with memoization (vocabulary is much
+    smaller than the row count, so the Python soundex runs once per unique
+    token, then a vectorized take)."""
+    arr = np.asarray(tokens, dtype=object)
+    uniq, inv = np.unique(arr.astype(str), return_inverse=True)
+    codes = np.array([soundex(u) for u in uniq], dtype=object)
+    return codes[inv]

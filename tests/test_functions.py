@@ -1,0 +1,196 @@
+"""Unit tests for the scalar/vector kernel library (SURVEY §5 plan:
+hand-computed cases per kernel)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from record_linkage_ldu_ray.config import BlockingConfig, MinHashConfig, NormalizerConfig
+from record_linkage_ldu_ray.functions.hashing import (
+    combine_hash_columns,
+    fnv1a_hash_strings,
+    splitmix64,
+)
+from record_linkage_ldu_ray.functions.minhash import (
+    EMPTY_SENTINEL,
+    lsh_band_hashes,
+    minhash_segments,
+    perm_params,
+)
+from record_linkage_ldu_ray.functions.sim import (
+    hamming_similarity_u64,
+    jaccard_sorted_u64,
+    jaro_winkler,
+    levenshtein_normalized,
+    minmax_ratio,
+    ngram_jaccard,
+    ratcliff_obershelp,
+    simhash64,
+    simhash_hamming_sim,
+    ts_gap_similarity,
+)
+from record_linkage_ldu_ray.functions.text import (
+    extract_digits,
+    normalize_text,
+    soundex,
+    soundex_array,
+    strip_float_suffix,
+)
+
+
+class TestNormalizers:
+    def test_normalize_text_reference_semantics(self):
+        # lower → strip punct → tokenize → stopwords → sort → join
+        # (pre_processing.py:48-55 semantics)
+        out = normalize_text(pa.array(["Hello, The World! foo", "zeta alpha  beta"]))
+        assert out.to_pylist() == ["foo hello world", "alpha beta zeta"]
+
+    def test_nulls_propagate(self):
+        out = normalize_text(pa.array(["x", None, ""]))
+        assert out.to_pylist() == ["x", None, ""]
+
+    def test_no_sort_variant(self):
+        cfg = NormalizerConfig(sort_tokens=False)
+        out = normalize_text(pa.array(["Zeta Alpha"]), cfg)
+        assert out.to_pylist() == ["zeta alpha"]
+
+    def test_extract_digits(self):
+        assert extract_digits(pa.array(["+1 (555) 123-4567", "abc"])).to_pylist() == [
+            "15551234567",
+            "",
+        ]
+
+    def test_strip_float_suffix(self):
+        assert strip_float_suffix(pa.array(["123.0", "1.50"])).to_pylist() == ["123", "1.50"]
+
+    def test_soundex(self):
+        assert soundex("robert") == soundex("rupert") == "R163"
+        assert soundex("ashcraft") == "A226"
+        assert soundex("") == ""
+        assert list(soundex_array(["robert", "rupert"])) == ["R163", "R163"]
+
+
+class TestSimilarity:
+    def test_jaro_winkler_known(self):
+        assert jaro_winkler("martha", "marhta") == pytest.approx(0.9611, abs=1e-3)
+        assert jaro_winkler("dixon", "dicksonx") == pytest.approx(0.8133, abs=1e-3)
+        assert jaro_winkler("abc", "abc") == 1.0
+        assert jaro_winkler("", "abc") == 0.0
+        assert jaro_winkler("", "") == 1.0
+
+    def test_levenshtein_brute_force(self):
+        import random
+
+        def lev_ref(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                ndp = [i]
+                for j, cb in enumerate(b, 1):
+                    ndp.append(min(dp[j] + 1, ndp[-1] + 1, dp[j - 1] + (ca != cb)))
+                dp = ndp
+            return dp[-1]
+
+        rng = random.Random(7)
+        for _ in range(100):
+            a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 9)))
+            b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 9)))
+            if a == b:
+                exp = 1.0
+            elif not a or not b:
+                exp = 0.0
+            else:
+                exp = 1 - lev_ref(a, b) / max(len(a), len(b))
+            assert levenshtein_normalized(a, b) == pytest.approx(exp)
+
+    def test_ratcliff(self):
+        assert ratcliff_obershelp("abc", "abc") == 1.0
+        assert ratcliff_obershelp("", "") == 1.0
+        assert ratcliff_obershelp("a", "") == 0.0
+
+    def test_jaccard_sorted(self):
+        a = np.array([1, 2, 3, 4], dtype=np.uint64)
+        b = np.array([3, 4, 5, 6], dtype=np.uint64)
+        assert jaccard_sorted_u64(a, b) == pytest.approx(2 / 6)
+        assert jaccard_sorted_u64(a, a) == 1.0
+        assert jaccard_sorted_u64(np.empty(0, np.uint64), a) == 0.0
+        assert jaccard_sorted_u64(np.empty(0, np.uint64), np.empty(0, np.uint64)) == 1.0
+
+    def test_ngram_jaccard(self):
+        assert ngram_jaccard("abcdef", "abcdef") == 1.0
+        assert 0 < ngram_jaccard("abcdef", "abcxef") < 1
+
+    def test_ts_gap(self):
+        out = ts_gap_similarity(np.array([0.0, 7.0]), tau=7.0)
+        assert out[0] == 1.0 and out[1] == pytest.approx(np.exp(-1))
+
+    def test_minmax_ratio(self):
+        out = minmax_ratio(np.array([2, 0, 5]), np.array([4, 0, 5]))
+        assert list(out) == [0.5, 1.0, 1.0]
+
+    def test_simhash(self):
+        h = fnv1a_hash_strings(pa.array([f"t{i}" for i in range(50)]))
+        s1 = simhash64(h)
+        s2 = simhash64(np.concatenate([h[:45], fnv1a_hash_strings(pa.array(["x1", "x2"]))]))
+        assert simhash_hamming_sim(s1, s1) == 1.0
+        assert simhash_hamming_sim(s1, s2) > 0.7
+
+
+class TestHashing:
+    def test_deterministic_across_calls(self):
+        a = pa.array(["alpha", "beta", ""])
+        assert (fnv1a_hash_strings(a, 3) == fnv1a_hash_strings(a, 3)).all()
+        assert (fnv1a_hash_strings(a, 3) != fnv1a_hash_strings(a, 4)).any()
+
+    def test_chunked_and_python_inputs(self):
+        ch = pa.chunked_array([pa.array(["a"]), pa.array(["b"])])
+        assert len(fnv1a_hash_strings(ch)) == 2
+        assert len(fnv1a_hash_strings(["a", "b"])) == 2
+
+    def test_splitmix_bijective_ish(self):
+        x = np.arange(1000, dtype=np.uint64)
+        assert len(np.unique(splitmix64(x))) == 1000
+
+    def test_combine_columns(self):
+        m = np.array([[1, 2], [1, 2], [2, 1]], dtype=np.uint64)
+        out = combine_hash_columns(m)
+        assert out[0] == out[1] and out[0] != out[2]
+
+
+class TestMinHash:
+    def test_determinism_and_estimate(self):
+        cfg = MinHashConfig()
+        p = perm_params(cfg)
+        p2 = perm_params(cfg)
+        assert (p[0] == p2[0]).all() and (p[1] == p2[1]).all()
+
+        t1 = fnv1a_hash_strings(pa.array([f"tok{i}" for i in range(100)]))
+        t2 = fnv1a_hash_strings(pa.array([f"tok{i}" for i in range(10, 110)]))
+        flat = np.concatenate([t1, t2])
+        offs = np.array([0, 100, 200], dtype=np.int64)
+        sig = minhash_segments(flat, offs, p)
+        est = hamming_similarity_u64(sig[0], sig[1])
+        assert abs(est - 90 / 110) < 0.2
+
+    def test_empty_segments_get_sentinel(self):
+        cfg = MinHashConfig()
+        p = perm_params(cfg)
+        t1 = fnv1a_hash_strings(pa.array(["a", "b"]))
+        flat = t1
+        offs = np.array([0, 0, 2, 2], dtype=np.int64)  # empty, {a,b}, empty
+        sig = minhash_segments(flat, offs, p)
+        assert (sig[0] == EMPTY_SENTINEL).all()
+        assert (sig[2] == EMPTY_SENTINEL).all()
+        assert not (sig[1] == EMPTY_SENTINEL).all()
+
+    def test_band_keys_identical_for_identical_sigs(self):
+        cfg = MinHashConfig()
+        bcfg = BlockingConfig()
+        p = perm_params(cfg)
+        t1 = fnv1a_hash_strings(pa.array([f"tok{i}" for i in range(30)]))
+        flat = np.concatenate([t1, t1])
+        offs = np.array([0, 30, 60], dtype=np.int64)
+        sig = minhash_segments(flat, offs, p)
+        keys = lsh_band_hashes(sig, bcfg)
+        assert (keys[0] == keys[1]).all()
+        # band index mixed in: a row's bands differ from each other
+        assert len(np.unique(keys[0])) == bcfg.bands
