@@ -68,6 +68,24 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
     return z
 
 
+def pair_hash(a_col, b_col, seed: int = 0) -> np.ndarray:
+    """uint64 hash of the canonical pair key 'a|b' (vectorized)."""
+    import pyarrow.compute as pc
+
+    if isinstance(a_col, pa.ChunkedArray):
+        a_col = a_col.combine_chunks()
+    if isinstance(b_col, pa.ChunkedArray):
+        b_col = b_col.combine_chunks()
+    if pa.types.is_large_string(a_col.type) or pa.types.is_large_string(b_col.type):
+        a_col = a_col.cast(pa.large_string())
+        b_col = b_col.cast(pa.large_string())
+        sep = pa.scalar("|", pa.large_string())
+    else:
+        sep = pa.scalar("|", pa.string())
+    key = pc.binary_join_element_wise(a_col, b_col, sep)
+    return fnv1a_hash_strings(key, seed)
+
+
 def combine_hash_columns(cols: np.ndarray) -> np.ndarray:
     """Combine an (n, k) uint64 matrix row-wise into one uint64 per row
     (polynomial rolling + splitmix finalize).  Used for LSH band keys."""

@@ -1,0 +1,141 @@
+"""S3 — blocking-key emission with hot-key salting (SURVEY §2.4 J1/J2).
+
+The reference enumerates the full cartesian index (compare_ldu_hw.py:160-162,
+17.8M pairs at 8.6k records) — O(n²) and impossible at 10^12 turns.  Its own
+README recommends blocking ("check only those with matching countries",
+README.md:245).  Here candidates come from the union of:
+
+- ``bands`` LSH keys over the MinHash signature (one per band), and
+- one phonetic/prefix key: soundex of the alphabetically-first normalized
+  token — the **reference blocking key** at which the F1 gate is evaluated.
+
+Hot blocks (power-law key frequencies) are salted with the triangle scheme:
+a key with n > max_block_records splits into s = min(max_salt, ceil(n/cap))
+buckets by hash(conv_id); each record replicates to the s sub-blocks
+{(min(b,j), max(b,j)) : j < s}, so every record pair still co-occurs in
+exactly the sub-block of their bucket pair — no recall loss, bounded block
+size.  Hot-key counts are logged as stage counters.
+
+Two passes over the (small) feature table: pass A counts keys (partial
+counts inside map_batches, then a tiny groupby — SURVEY A-scale advice),
+pass B re-emits salted block rows.  Block keys are uint64 hashes (cheap to
+shuffle); features travel inside the block rows so pair scoring needs no
+extra join.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from record_linkage_ldu_ray.config import PipelineConfig
+from record_linkage_ldu_ray.functions.hashing import fnv1a_hash_strings, splitmix64
+from record_linkage_ldu_ray.functions.minhash import EMPTY_SENTINEL, lsh_band_hashes
+from record_linkage_ldu_ray.functions.text import soundex_array
+
+_PREFIX_TAG = np.uint64(0x9E37_0001)
+
+
+def _record_keys(batch: pa.Table, cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(flat_keys, row_indices): every blocking key of every record."""
+    n = len(batch)
+    mh = batch["minhash"]
+    if isinstance(mh, pa.ChunkedArray):
+        mh = mh.combine_chunks()
+    k = cfg.minhash.num_perm
+    sigs = mh.flatten().to_numpy(zero_copy_only=False).reshape(n, k)
+    band_keys = lsh_band_hashes(sigs, cfg.blocking)  # (n, bands)
+    nonempty = sigs[:, 0] != EMPTY_SENTINEL  # empty convs emit no LSH keys
+
+    keys = []
+    rows = []
+    bands = cfg.blocking.bands
+    row_idx = np.arange(n, dtype=np.int64)
+    for j in range(bands):
+        keys.append(band_keys[nonempty, j])
+        rows.append(row_idx[nonempty])
+    if cfg.blocking.use_prefix_key:
+        first = np.array(
+            [x if x is not None else "" for x in batch["first_token"].to_pylist()],
+            dtype=object,
+        )
+        codes = soundex_array(first)
+        pk = splitmix64(fnv1a_hash_strings(pa.array(codes.astype(str))) ^ _PREFIX_TAG)
+        has_tok = np.array([bool(c) for c in codes])
+        keys.append(pk[has_tok])
+        rows.append(row_idx[has_tok])
+    # int64 view: Ray Data sort/groupby handles int64 natively (uint64 above
+    # 2^63 falls back to Python objects), wrap semantics preserved
+    return np.concatenate(keys).view(np.int64), np.concatenate(rows)
+
+
+def _emit_key_counts(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Pass A: partial per-batch key counts (pre-aggregation before the tiny
+    groupby — avoids shuffling one row per (record, key))."""
+    flat_keys, _ = _record_keys(batch, cfg)
+    uniq, cnt = np.unique(flat_keys, return_counts=True)
+    return pa.table({"block_key": pa.array(uniq, pa.int64()), "n": pa.array(cnt, pa.int64())})
+
+
+def hot_key_table(features_ds, cfg: PipelineConfig) -> dict[int, int]:
+    """Driver-side dict {hot block_key: salt_count}; small by construction
+    (only keys over max_block_records)."""
+    import pyarrow.compute as pc
+
+    counts = features_ds.map_batches(
+        _emit_key_counts,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"cfg": cfg},
+    ).groupby("block_key").sum("n")
+    cap = cfg.blocking.max_block_records
+    hot = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["sum(n)"], cap)), batch_format="pyarrow"
+    )
+    out = {}
+    for row in hot.take_all():  # tiny: only keys above the cap survive
+        n = int(row["sum(n)"])
+        out[int(row["block_key"])] = int(min(cfg.blocking.max_salt, -(-n // cap)))
+    return out
+
+
+def _emit_block_rows(batch: pa.Table, cfg: PipelineConfig, hot: dict[int, int]) -> pa.Table:
+    """Pass B: replicate each record to all its (salted) block keys."""
+    flat_keys, rows = _record_keys(batch, cfg)
+
+    if hot:
+        conv_h = fnv1a_hash_strings(batch["conv_id"])
+        hot_keys = np.fromiter(hot.keys(), dtype=np.int64, count=len(hot))
+        is_hot = np.isin(flat_keys, hot_keys)
+        hk = flat_keys[is_hot].view(np.uint64)
+        hr = rows[is_hot]
+        # vectorized triangle replication: record with bucket b goes to the
+        # s sub-blocks {(min(b,j), max(b,j)) : j < s}
+        s_arr = np.array([hot[int(k.view(np.int64))] for k in hk], dtype=np.int64)
+        rep_keys = np.repeat(hk, s_arr)
+        rep_rows = np.repeat(hr, s_arr)
+        total = int(s_arr.sum())
+        j_idx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(s_arr) - s_arr, s_arr
+        )
+        b_rep = np.repeat(
+            (conv_h[hr] % s_arr.astype(np.uint64)).astype(np.int64), s_arr
+        )
+        lo = np.minimum(b_rep, j_idx).astype(np.uint64)
+        hi = np.maximum(b_rep, j_idx).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            salted = splitmix64(rep_keys ^ (lo * np.uint64(0x10000) + hi + np.uint64(0xA17)))
+        flat_keys = np.concatenate([flat_keys[~is_hot], salted.view(np.int64)])
+        rows = np.concatenate([rows[~is_hot], rep_rows])
+
+    taken = batch.take(pa.array(rows, pa.int64()))
+    return taken.append_column("block_key", pa.array(flat_keys, pa.int64()))
+
+
+def emit_block_rows(features_ds, cfg: PipelineConfig, hot: dict[int, int]):
+    return features_ds.map_batches(
+        _emit_block_rows,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"cfg": cfg, "hot": hot},
+    )

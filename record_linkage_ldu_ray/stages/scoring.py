@@ -1,0 +1,158 @@
+"""S5 — pairwise scoring on a stateful actor pool (the compute core).
+
+Reference semantics (compare_ldu_hw.py:79-115, compare_ldu_ldu.py:43-67):
+per mapped field pair, missing-either → 0 (README.md:169); long multi-token
+fields scored sequence-wise, short fields edit-distance-wise
+(compare_ldu_hw.py:66-76); a ``total`` row-sum appended per pair
+(compare_ldu_hw.py:152).
+
+Graft feature set (north star): token-set Jaccard + Jaro-Winkler on
+normalized text, Jaro-Winkler on role/tool sequences, timestamp-gap and
+turn-count features, MinHash Jaccard estimate.
+
+The scorer is a callable CLASS → Ray actor pool: similarity kernels,
+comparison plan and config are built once per actor in ``__init__``
+(reference instead pickles both FULL DataFrames into every worker process,
+compare_ldu_hw.py:170-177 — the anti-pattern this engine replaces: here
+records travel inside the shuffled pair rows).
+
+Cheap vectorized features (MinHash estimate, ts/turn-count) run first; the
+expensive per-pair kernels (exact Jaccard, Jaro-Winkler) run only where the
+MinHash estimate clears ``est_floor`` — below it no decision mask can fire
+(score bound < score_mid and jac bound < jac_text_mid), so decisions are
+unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from record_linkage_ldu_ray.config import PipelineConfig
+from record_linkage_ldu_ray.functions.sim import (
+    jaccard_sorted_u64,
+    jaro_winkler,
+    minmax_ratio,
+)
+
+SCORE_FEATURES = [
+    "jac_text",
+    "jw_text",
+    "jw_role",
+    "jw_tool",
+    "ts_sim",
+    "nturns_sim",
+    "minhash_est",
+]
+
+
+def _np_u64(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col
+
+
+class PairScorer:
+    """map_batches(PairScorer, concurrency=(min,max), batch_format='pyarrow')."""
+
+    def __init__(self, cfg: PipelineConfig):
+        self.cfg = cfg
+        self.k = cfg.minhash.num_perm
+        self.jw_max = cfg.scoring.jw_text_max_chars
+        self.tau = cfg.scoring.ts_tau_seconds
+        # MinHash-estimate floor below which no mask can fire (see module
+        # docstring); 0 disables the shortcut.
+        self.est_floor = 0.15
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {}
+
+        # ---- vectorized cheap features -------------------------------
+        mh_a = _np_u64(batch["minhash_a"]).flatten().to_numpy(zero_copy_only=False).reshape(n, self.k)
+        mh_b = _np_u64(batch["minhash_b"]).flatten().to_numpy(zero_copy_only=False).reshape(n, self.k)
+        est = (mh_a == mh_b).mean(axis=1).astype(np.float32)
+        # all-sentinel (empty token set) signatures: missing → 0
+        from record_linkage_ldu_ray.functions.minhash import EMPTY_SENTINEL
+
+        empty_a = mh_a[:, 0] == EMPTY_SENTINEL
+        empty_b = mh_b[:, 0] == EMPTY_SENTINEL
+        est[empty_a | empty_b] = 0.0
+        cols["minhash_est"] = est
+
+        ts_a = batch["ts_min_a"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts_b = batch["ts_min_b"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        delta_s = (ts_a - ts_b) / 1e6
+        cols["ts_sim"] = np.exp(-np.abs(delta_s) / self.tau).astype(np.float32)
+
+        nt_a = batch["n_turns_a"].to_numpy(zero_copy_only=False)
+        nt_b = batch["n_turns_b"].to_numpy(zero_copy_only=False)
+        cols["nturns_sim"] = minmax_ratio(nt_a, nt_b).astype(np.float32)
+
+        # ---- expensive per-pair kernels, gated by the estimate -------
+        tok_a = _np_u64(batch["tok_hashes_a"])
+        tok_b = _np_u64(batch["tok_hashes_b"])
+        off_a = tok_a.offsets.to_numpy().astype(np.int64)
+        off_b = tok_b.offsets.to_numpy().astype(np.int64)
+        val_a = tok_a.values.to_numpy(zero_copy_only=False)
+        val_b = tok_b.values.to_numpy(zero_copy_only=False)
+
+        txt_a = batch["text_prefix_a"].to_pylist()
+        txt_b = batch["text_prefix_b"].to_pylist()
+        role_a = batch["role_seq_a"].to_pylist()
+        role_b = batch["role_seq_b"].to_pylist()
+        tool_a = batch["tool_seq_a"].to_pylist()
+        tool_b = batch["tool_seq_b"].to_pylist()
+
+        jac = np.zeros(n, dtype=np.float32)
+        jw_t = np.zeros(n, dtype=np.float32)
+        jw_r = np.zeros(n, dtype=np.float32)
+        jw_o = np.zeros(n, dtype=np.float32)
+        jwm = self.jw_max
+        active = np.nonzero(est >= self.est_floor)[0]
+        for i in active:
+            jac[i] = jaccard_sorted_u64(
+                val_a[off_a[i] : off_a[i + 1]], val_b[off_b[i] : off_b[i + 1]]
+            )
+            ta, tb = txt_a[i], txt_b[i]
+            if ta and tb:
+                jw_t[i] = jaro_winkler(ta[:jwm], tb[:jwm])
+            ra, rb = role_a[i], role_b[i]
+            if ra and rb:
+                jw_r[i] = jaro_winkler(ra, rb)
+            oa, ob = tool_a[i], tool_b[i]
+            if oa and ob:
+                jw_o[i] = jaro_winkler(oa, ob)
+        cols["jac_text"] = jac
+        cols["jw_text"] = jw_t
+        cols["jw_role"] = jw_r
+        cols["jw_tool"] = jw_o
+
+        # total = row-sum of all field scores (compare_ldu_hw.py:152)
+        total = np.zeros(n, dtype=np.float32)
+        for f in SCORE_FEATURES:
+            total += cols[f]
+
+        out = pa.table(
+            {
+                "conv_id_a": batch["conv_id_a"],
+                "conv_id_b": batch["conv_id_b"],
+                **{f: pa.array(cols[f]) for f in SCORE_FEATURES},
+                "total": pa.array(total),
+            }
+        )
+        return out
+
+
+def score_pairs(pairs_ds, cfg: PipelineConfig):
+    """Wide pair rows → narrow score rows (ids + float32 features + total)."""
+    cmin, cmax = cfg.scorer_concurrency
+    return pairs_ds.map_batches(
+        PairScorer,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.scorer_batch_size,
+        zero_copy_batch=True,
+        concurrency=(cmin, cmax),
+        num_cpus=1,
+    )

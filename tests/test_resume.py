@@ -1,0 +1,72 @@
+"""Checkpoint/resume semantics (north rule: idempotent per-stage resume
+with lineage + counters)."""
+
+import json
+import os
+import shutil
+
+from record_linkage_ldu_ray.config import PipelineConfig
+from record_linkage_ldu_ray.pipelines.dedup import dedup_transcripts
+from record_linkage_ldu_ray.pipelines.evaluate import clusters_equal
+
+
+def _manifests(workdir):
+    out = {}
+    for stage in os.listdir(workdir):
+        p = os.path.join(workdir, stage, "_manifest.json")
+        if os.path.exists(p):
+            out[stage] = json.load(open(p))
+    return out
+
+
+def test_rerun_resumes_all_stages(ray_session, xs_fixture_dir, tmp_path):
+    workdir = str(tmp_path / "ckpt")
+    cfg = PipelineConfig()
+    src = f"{xs_fixture_dir}/transcripts.parquet"
+
+    dedup_transcripts(src, cfg, workdir=workdir)
+    first = _manifests(workdir)
+    assert all(not m["resumed"] for m in first.values())
+
+    res2 = dedup_transcripts(src, cfg, workdir=workdir)
+    second = _manifests(workdir)
+    # same manifests on disk (nothing rewritten)
+    for stage in first:
+        assert second[stage]["written_at"] == first[stage]["written_at"], stage
+    same, diff = clusters_equal(res2.clusters, f"{xs_fixture_dir}/expected_clusters.parquet")
+    assert same, diff
+
+
+def test_killed_stage_is_rebuilt_alone(ray_session, xs_fixture_dir, tmp_path):
+    workdir = str(tmp_path / "ckpt2")
+    cfg = PipelineConfig()
+    src = f"{xs_fixture_dir}/transcripts.parquet"
+    dedup_transcripts(src, cfg, workdir=workdir)
+    first = _manifests(workdir)
+
+    # simulate a crash that lost the scores checkpoint
+    shutil.rmtree(os.path.join(workdir, "scores"))
+    res = dedup_transcripts(src, cfg, workdir=workdir)
+    second = _manifests(workdir)
+    # earlier stages untouched, scores (and downstream) rebuilt
+    assert second["features"]["written_at"] == first["features"]["written_at"]
+    assert second["pairs"]["written_at"] == first["pairs"]["written_at"]
+    assert second["scores"]["written_at"] != first["scores"]["written_at"]
+    same, diff = clusters_equal(res.clusters, f"{xs_fixture_dir}/expected_clusters.parquet")
+    assert same, diff
+
+
+def test_config_change_invalidates(ray_session, xs_fixture_dir, tmp_path):
+    from dataclasses import replace
+
+    workdir = str(tmp_path / "ckpt3")
+    src = f"{xs_fixture_dir}/transcripts.parquet"
+    cfg = PipelineConfig()
+    dedup_transcripts(src, cfg, workdir=workdir)
+    first = _manifests(workdir)
+
+    cfg2 = replace(cfg, feature_partitions=32)
+    dedup_transcripts(src, cfg2, workdir=workdir)
+    second = _manifests(workdir)
+    assert second["features"]["config_hash"] != first["features"]["config_hash"]
+    assert second["features"]["written_at"] != first["features"]["written_at"]
