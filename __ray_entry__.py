@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript-dedup pipeline on sf0.001;
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (+ the training-data operators: dedup suite, ANN, text
+analysis, multimodal metadata); ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for every SQL-expressible entry.  Column names/types match between the
+Ray results and the SQL exactly.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +16,387 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from record_linkage_ldu_ray.config import ENGLISH_STOPWORDS
+
+_SF0001 = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+
+
+def _sql_list(words) -> str:
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words)) + "]"
+
+
+_STOP_SQL = _sql_list(ENGLISH_STOPWORDS)
+_WS_WORDS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents → synthetic transcripts → full dedup DAG
+    (normalize → per-conv features → LSH blocking → pair gen → actor-pool
+    scoring → weighted-threshold decision → union-find clustering)."""
+    from record_linkage_ldu_ray.pipelines.dedup import dedup_transcripts
+    from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
+
+    ts = transcripts_from_documents(_SF0001)
+    return dedup_transcripts(ts).clusters
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+
+def _q_normalize_text(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_linkage_ldu_ray.functions.text import normalize_text
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "text_norm": normalize_text(t["text"])})
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import exact_dedup
+
+    return exact_dedup(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_jaccard_dup_pairs(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import jaccard_dup_pairs
+
+    return jaccard_dup_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), tau=0.5
+    )
+
+
+def _q_minhash_lsh_dup_pairs(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import minhash_lsh_dup_pairs
+
+    return minhash_lsh_dup_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), tau=0.7
+    )
+
+
+def _q_simhash_dup_pairs(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import simhash_dup_pairs
+
+    return simhash_dup_pairs(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_embedding_dup_pairs(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import embedding_dup_pairs
+
+    return embedding_dup_pairs(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), tau=0.4
+    )
+
+
+def _q_token_counts(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import token_counts
+
+    return token_counts(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_quality_scores(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import quality_scores
+
+    return quality_scores(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import lang_id
+
+    return lang_id(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_content_fingerprints(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import content_fingerprints
+
+    return content_fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_winnowing(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import winnowing_fingerprints
+
+    return winnowing_fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.ann import brute_force_topk, load_queries
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qmat, qids = load_queries(ds, num_queries=8)
+    return brute_force_topk(ds, qmat, qids, k=10)
+
+
+def _q_lsh_ann_topk(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.ann import load_queries, lsh_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qmat, qids = load_queries(ds, num_queries=8)
+    return lsh_topk(ds, qmat, qids, k=10, n_bits=6)
+
+
+def _q_payload_metadata(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.stages.multimodal import payload_metadata
+
+    # documents.text stands in for an opaque binary payload column
+    return payload_metadata(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), "doc_id", "text"
+    )
+
+
+def _q_image_features_stub(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.stages.multimodal import extract_image_features
+
+    return extract_image_features(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"),
+        "doc_id",
+        "text",
+        mode="fake",  # deterministic fake decode; real decode is stubbed
+    )
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import lineitem_pricing_summary
+
+    return lineitem_pricing_summary(sf_dir)
+
+
+def _q_orders_by_segment(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import orders_by_segment
+
+    return orders_by_segment(sf_dir)
+
+
+def _q_filter_click_events(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import filter_click_events
+
+    return filter_click_events(sf_dir)
+
+
+def _q_top_orders(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import top_orders
+
+    return top_orders(sf_dir)
+
+
+def _q_user_event_features(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import user_event_features
+
+    return user_event_features(sf_dir)
+
+
+def _q_transcript_dedup(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.dedup import dedup_transcripts
+    from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
+
+    return dedup_transcripts(transcripts_from_documents(sf_dir)).clusters
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # linkage-engine kernels / relational primitives
+        "normalize_text": _q_normalize_text,
+        "filter_click_events": _q_filter_click_events,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "orders_by_segment": _q_orders_by_segment,
+        "top_orders": _q_top_orders,
+        "user_event_features": _q_user_event_features,
+        # dedup suite
+        "exact_dedup": _q_exact_dedup,
+        "jaccard_dup_pairs": _q_jaccard_dup_pairs,
+        "minhash_lsh_dup_pairs": _q_minhash_lsh_dup_pairs,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        # text analysis
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "lang_id": _q_lang_id,
+        "content_fingerprints": _q_content_fingerprints,
+        "winnowing_fingerprints": _q_winnowing,
+        # similarity search
+        "ann_topk": _q_ann_topk,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        # multimodal plumbing
+        "payload_metadata": _q_payload_metadata,
+        "image_features_stub": _q_image_features_stub,
+        # flagship
+        "transcript_dedup": _q_transcript_dedup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "normalize_text": f"""
+            SELECT doc_id,
+                   array_to_string(
+                     list_sort(
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '' AND NOT list_contains({_STOP_SQL}, x))),
+                     ' ') AS text_norm
+            FROM documents
+        """,
+        "filter_click_events": """
+            SELECT event_id, user_id, value
+            FROM events WHERE event_type = 'click' AND value > 50.0
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   CAST(count(*) AS BIGINT) AS count_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_totalprice_cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "top_orders": """
+            SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+            FROM orders ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100
+        """,
+        "user_event_features": """
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS ts_min, max(ts) AS ts_max,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
+            FROM events GROUP BY user_id
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "jaccard_dup_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, source, list_distinct({_WS_WORDS}) AS w
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                       / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS j
+              FROM toks a JOIN toks b
+                ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE len(a.w) + len(b.w) > 0)
+            SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
+            FROM pairs WHERE j >= 0.5
+        """,
+        "embedding_dup_pairs": """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+                   CAST(len({_WS_WORDS}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT)
+                     AS n_bpe_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        "quality_scores": f"""
+            WITH w AS (SELECT doc_id, text, {_WS_WORDS} AS words FROM documents)
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   round(CAST(coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS DOUBLE)
+                         / greatest(len(words), 1), 6) AS avg_word_len,
+                   round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(CAST(len(list_filter(words,
+                           x -> list_contains({_sql_list(("the","and","of","to","is","in","that","it","for","with"))}, lower(x)))) AS DOUBLE)
+                         / greatest(len(words), 1), 6) AS stopword_ratio
+            FROM w
+        """,
+        "lang_id": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                               x -> x <> '')) AS toks
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     len(list_intersect(toks, {_sql_list(("the","and","of","to","is","in","that","it","for","with"))})) AS e,
+                     len(list_intersect(toks, {_sql_list(("der","die","und","das","ist","nicht","ein","mit","von","zu"))})) AS d,
+                     len(list_intersect(toks, {_sql_list(("el","la","de","que","y","los","una","por","con","para"))})) AS s,
+                     len(list_intersect(toks, {_sql_list(("le","la","et","les","des","est","une","dans","pour","que"))})) AS f
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN e = 0 AND d = 0 AND s = 0 AND f = 0 THEN 'und'
+                        WHEN e >= d AND e >= s AND e >= f THEN 'en'
+                        WHEN d >= s AND d >= f THEN 'de'
+                        WHEN s >= f THEN 'es'
+                        ELSE 'fr' END AS lang_pred,
+                   CAST(greatest(e, d, s, f) AS BIGINT) AS lang_hits
+            FROM h
+        """,
+        "content_fingerprints": """
+            SELECT doc_id, sha256(text) AS sha256,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 8),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS c
+                  FROM q CROSS JOIN embeddings e),
+            r AS (SELECT query_id, vec_id, c,
+                         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+                  FROM s)
+            SELECT query_id, vec_id, round(c, 6) AS cos_sim, CAST(rk AS INTEGER) AS rank
+            FROM r WHERE rk <= 10
+        """,
+        "payload_metadata": """
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   sha256(text) AS sha256,
+                   'unknown' AS kind
+            FROM documents
+        """,
+        # minhash_lsh_dup_pairs, simhash_dup_pairs, winnowing_fingerprints,
+        # lsh_ann_topk, image_features_stub, transcript_dedup: sketch-based /
+        # model-stub / iterative pipelines — not SQL-expressible, rows-only.
+    }

@@ -1,0 +1,479 @@
+"""Document-level deduplication suite (training-data pipeline operators).
+
+The reference's whole purpose is near-duplicate detection over fuzzy records
+(compare_ldu_ldu.py self-dedup: full pairwise index → per-field similarity →
+threshold rule).  These operators re-express that capability over a generic
+``documents(doc_id, text, …)`` table at corpus scale, each as a streaming
+Ray Data pipeline:
+
+- exact_dedup            hash-partition + per-group min  (D7 analog)
+- jaccard_dup_pairs      within-block pairwise token-set Jaccard
+                         (compare_ldu_ldu.py:28-40 similarity + README.md:245
+                         blocking advice)
+- minhash_lsh_dup_pairs  shingle → MinHash → LSH bands → bucket groupby →
+                         verify (the scale path; SURVEY §2.6 sketch note)
+- simhash + near-dup     64-bit SimHash, banded Hamming candidates
+- embedding_dup_pairs    cosine near-dup over an embedding column
+
+All are deterministic (fixed seeds, canonical ``id_a < id_b`` pair order) so
+N-CPU and 4N-CPU runs agree byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+import ray.data
+
+from record_linkage_ldu_ray.config import BlockingConfig, MinHashConfig
+from record_linkage_ldu_ray.functions.hashing import fnv1a_hash_strings, splitmix64
+from record_linkage_ldu_ray.functions.minhash import (
+    lsh_band_hashes,
+    minhash_segments,
+    perm_params,
+)
+
+_NUM_PARTS = 64  # hash-partition fan-out for group stages
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+
+
+def _add_hash_part(col: str, num_parts: int = _NUM_PARTS):
+    def _f(t: pa.Table) -> pa.Table:
+        h = fnv1a_hash_strings(t[col].cast(pa.string()))
+        part = (h % np.uint64(num_parts)).astype(np.int32)
+        return t.append_column("part", pa.array(part, pa.int32()))
+
+    return _f
+
+
+def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """Keep the lowest ``id`` per identical ``text`` (exact dedup).
+
+    Physical plan: hash-partition on text hash (NOT the full text — the
+    shuffle key stays 8 bytes), then one vectorized polars group_by per
+    partition.  Equal texts share a hash so they co-locate; grouping inside
+    the partition is on the full text, so hash collisions stay correct.
+    """
+    ds = ds.select_columns([id_col, text_col]).map_batches(
+        _add_hash_part(text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        out = df.group_by(text_col).agg(pl.col(id_col).min()).sort(id_col)
+        return out.select([id_col, text_col]).to_arrow()
+
+    return ds.groupby("part").map_groups(_dedup, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# shared: tokenization + canonical pair enumeration helpers
+
+
+def _ws_token_lists(texts: pa.ChunkedArray | pa.Array) -> pl.Series:
+    """Whitespace tokenization → list<string> (vectorized)."""
+    s = pl.from_arrow(texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts)
+    return s.str.strip_chars().str.replace_all(r"\s+", " ").str.split(" ")
+
+
+def _pairs_within_groups(df: pl.DataFrame, group_col: str, id_col: str) -> np.ndarray:
+    """(m, 2) row-index pairs (i, j), i<j by ``id_col`` order, within each
+    group of ``group_col``.  Vectorized triangle enumeration per group."""
+    df = df.with_row_index("_row")
+    out = []
+    for _, g in df.group_by(group_col):
+        n = g.height
+        if n < 2:
+            continue
+        rows = g.sort(id_col)["_row"].to_numpy()
+        iu, ju = np.triu_indices(n, k=1)
+        out.append(np.stack([rows[iu], rows[ju]], axis=1))
+    if not out:
+        return np.empty((0, 2), np.int64)
+    return np.concatenate(out).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# within-block pairwise token-set Jaccard (SQL-expressible oracle shape)
+
+
+def jaccard_dup_pairs(
+    ds: "ray.data.Dataset",
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.5,
+):
+    """All pairs within a block whose unique-token-set Jaccard ≥ tau.
+
+    The per-pair kernel is the reference's token-set similarity two-tier
+    idea (compare_ldu_ldu.py:28-40) with semantic blocking standing in for
+    "check only those with matching countries" (README.md:245).
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
+    """
+    ds = ds.select_columns([id_col, block_col, text_col])
+
+    def _score(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        toks = _ws_token_lists(t[text_col])
+        df = df.with_columns(toks.list.unique().list.sort().alias("_toks"))
+        pairs = _pairs_within_groups(df, block_col, id_col)
+        if len(pairs) == 0:
+            return pa.table(
+                {
+                    f"{id_col}_a": pa.array([], pa.int64()),
+                    f"{id_col}_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        tok_arr = df["_toks"].to_arrow()
+        if pa.types.is_large_list(tok_arr.type):
+            tok_arr = tok_arr.cast(pa.list_(pa.string()))
+        offsets = tok_arr.offsets.to_numpy().astype(np.int64)
+        flat = fnv1a_hash_strings(tok_arr.flatten())
+        ids = df[id_col].to_numpy()
+        ja = np.empty(len(pairs), np.float64)
+        for k, (i, j) in enumerate(pairs):
+            a = flat[offsets[i] : offsets[i + 1]]
+            b = flat[offsets[j] : offsets[j + 1]]
+            inter = np.intersect1d(a, b, assume_unique=False).size
+            union = a.size + b.size - inter
+            ja[k] = inter / union if union else 0.0
+        keep = ja >= tau
+        ia, ib = ids[pairs[keep, 0]], ids[pairs[keep, 1]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pa.table(
+            {
+                f"{id_col}_a": pa.array(lo, pa.int64()),
+                f"{id_col}_b": pa.array(hi, pa.int64()),
+                "jaccard": pa.array(np.round(ja[keep], 6), pa.float64()),
+            }
+        )
+
+    return ds.groupby(block_col).map_groups(_score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the 100 TB scale path)
+
+
+def _shingle_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc sorted-unique uint64 hashes of word ``n``-gram shingles.
+
+    Returns (flat_hashes, offsets).  Rolling combine over token hashes —
+    vectorized across the whole batch, no per-row Python.
+    """
+    toks = _ws_token_lists(texts)
+    arr = toks.to_arrow()
+    if pa.types.is_large_list(arr.type):
+        arr = arr.cast(pa.list_(pa.string()))
+    arr = arr.fill_null([])
+    offs = arr.offsets.to_numpy().astype(np.int64)
+    th = fnv1a_hash_strings(arr.flatten()) if len(arr.flatten()) else np.empty(0, np.uint64)
+    ndocs = len(arr)
+    lengths = offs[1:] - offs[:-1]
+    # rolling n-gram combine: h_i = mix(th[i], th[i+1], ..., th[i+n-1])
+    with np.errstate(over="ignore"):
+        comb = th.copy()
+        for k in range(1, n):
+            shifted = np.roll(th, -k)
+            comb = splitmix64(comb * np.uint64(0x100000001B3) ^ shifted)
+    # valid shingle start positions: within-doc, at least n tokens remain
+    doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lengths)
+    pos_in_doc = np.arange(len(th), dtype=np.int64) - np.repeat(offs[:-1], lengths)
+    valid = pos_in_doc <= np.repeat(lengths, lengths) - n
+    sh = comb[valid]
+    sh_doc = doc_of[valid]
+    # sorted-unique per doc
+    order = np.lexsort((sh, sh_doc))
+    sh, sh_doc = sh[order], sh_doc[order]
+    keep = np.ones(len(sh), bool)
+    if len(sh) > 1:
+        keep[1:] = ~((sh[1:] == sh[:-1]) & (sh_doc[1:] == sh_doc[:-1]))
+    sh, sh_doc = sh[keep], sh_doc[keep]
+    counts = np.bincount(sh_doc, minlength=ndocs)
+    new_offs = np.zeros(ndocs + 1, np.int64)
+    np.cumsum(counts, out=new_offs[1:])
+    return sh, new_offs
+
+
+class ShingleMinHasher:
+    """Actor-pool stage: doc batch → MinHash signature of word-shingle set.
+
+    Permutation params built once per actor (T1/T2 pattern, SURVEY §2.3).
+    """
+
+    def __init__(self, n: int = 3, minhash: MinHashConfig = MinHashConfig()):
+        self.n = n
+        self.cfg = minhash
+        self.params = perm_params(minhash)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sh, offs = _shingle_hashes(t["text"], self.n)
+        sig = minhash_segments(sh, offs, self.params)
+        k = self.cfg.num_perm
+        mh = pa.FixedSizeListArray.from_arrays(pa.array(sig.reshape(-1), pa.uint64()), k)
+        n_sh = pa.array((offs[1:] - offs[:-1]).astype(np.int64), pa.int64())
+        return pa.table({"doc_id": t["doc_id"], "minhash": mh, "n_shingles": n_sh})
+
+
+def minhash_lsh_dup_pairs(
+    ds: "ray.data.Dataset",
+    tau: float = 0.7,
+    shingle_n: int = 3,
+    minhash: MinHashConfig = MinHashConfig(),
+    blocking: BlockingConfig | None = None,
+):
+    """Near-dup pairs via shingle → MinHash → LSH-band buckets → verify.
+
+    Candidate pairs come ONLY from shared band buckets (never all-pairs);
+    the estimate is the signature agreement fraction, deduped across bands
+    by canonical pair key.  Output: (doc_id_a, doc_id_b, est_jaccard ≥ tau).
+    """
+    blocking = blocking or BlockingConfig(bands=16, rows_per_band=4)
+    assert blocking.bands * blocking.rows_per_band == minhash.num_perm
+
+    sigs = ds.select_columns(["doc_id", "text"]).map_batches(
+        ShingleMinHasher,
+        fn_constructor_kwargs={"n": shingle_n, "minhash": minhash},
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+        batch_size=4096,
+    )
+
+    def _emit_bands(t: pa.Table) -> pa.Table:
+        sig = np.asarray(t["minhash"].combine_chunks().flatten()).reshape(
+            len(t), minhash.num_perm
+        )
+        keys = lsh_band_hashes(sig, blocking)  # (n, bands)
+        n, b = keys.shape
+        n_sh = t["n_shingles"].to_numpy()
+        nonempty = np.repeat(n_sh > 0, b)  # empty docs never block with anything
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1)[nonempty], pa.uint64()),
+                "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), b)[nonempty], pa.int64()),
+                "minhash": pa.FixedSizeListArray.from_arrays(
+                    pa.array(
+                        np.repeat(sig, b, axis=0)[nonempty].reshape(-1), pa.uint64()
+                    ),
+                    minhash.num_perm,
+                ),
+            }
+        )
+
+    banded = sigs.map_batches(_emit_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _bucket_pairs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["band_key", "doc_id"]))
+        pairs = _pairs_within_groups(df, "band_key", "doc_id")
+        if len(pairs) == 0:
+            return pa.table(
+                {
+                    "doc_id_a": pa.array([], pa.int64()),
+                    "doc_id_b": pa.array([], pa.int64()),
+                    "est_jaccard": pa.array([], pa.float64()),
+                }
+            )
+        sig = np.asarray(t["minhash"].combine_chunks().flatten()).reshape(
+            len(t), minhash.num_perm
+        )
+        est = (sig[pairs[:, 0]] == sig[pairs[:, 1]]).mean(axis=1)
+        ids = t["doc_id"].to_numpy()
+        ia, ib = ids[pairs[:, 0]], ids[pairs[:, 1]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        keep = (est >= tau) & (lo != hi)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(lo[keep], pa.int64()),
+                "doc_id_b": pa.array(hi[keep], pa.int64()),
+                "est_jaccard": pa.array(est[keep], pa.float64()),
+            }
+        )
+
+    pairs = banded.groupby("band_key").map_groups(_bucket_pairs, batch_format="pyarrow")
+
+    # dedup the same pair found in several bands: hash-partition on the pair
+    # key, first-wins within partition (D7)
+    def _pair_part(t: pa.Table) -> pa.Table:
+        from record_linkage_ldu_ray.functions.hashing import pair_hash
+
+        h = pair_hash(
+            t["doc_id_a"].cast(pa.string()), t["doc_id_b"].cast(pa.string())
+        )
+        return t.append_column(
+            "part", pa.array((h % np.uint64(_NUM_PARTS)).astype(np.int32), pa.int32())
+        )
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        return (
+            df.unique(["doc_id_a", "doc_id_b"], keep="first", maintain_order=True)
+            .sort(["doc_id_a", "doc_id_b"])
+            .to_arrow()
+        )
+
+    return (
+        pairs.map_batches(_pair_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(_dedup, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash_signatures(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """64-bit SimHash per document over whitespace tokens (term-frequency
+    weighted).  Output: (doc_id, simhash: uint64)."""
+
+    def _simhash(t: pa.Table) -> pa.Table:
+        toks = _ws_token_lists(t[text_col])
+        arr = toks.to_arrow()
+        if pa.types.is_large_list(arr.type):
+            arr = arr.cast(pa.list_(pa.string()))
+        arr = arr.fill_null([])
+        offs = arr.offsets.to_numpy().astype(np.int64)
+        flat = arr.flatten()
+        h = fnv1a_hash_strings(flat) if len(flat) else np.empty(0, np.uint64)
+        n = len(arr)
+        lengths = offs[1:] - offs[:-1]
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        # bits: (T, 64) ±1 contributions, segment-summed per doc, sign → bit
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        contrib = bits * 2 - 1
+        sums = np.zeros((n, 64), np.int64)
+        np.add.at(sums, doc_of, contrib)
+        sig = (
+            ((sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :])
+            .sum(axis=1, dtype=np.uint64)
+        )
+        sig[lengths == 0] = np.uint64(0)
+        return pa.table(
+            {id_col: t[id_col], "simhash": pa.array(sig, pa.uint64())}
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _simhash, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def simhash_dup_pairs(ds: "ray.data.Dataset", max_hamming: int = 3):
+    """Near-dup pairs by SimHash: candidates share one of four 16-bit bands
+    (any pair within Hamming ≤ 3 of a 64-bit key shares ≥1 exact band by
+    pigeonhole), verified by exact popcount distance."""
+    sigs = simhash_signatures(ds)
+
+    def _emit(t: pa.Table) -> pa.Table:
+        sig = t["simhash"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        n = len(sig)
+        bands = np.empty((n, 4), np.uint64)
+        for j in range(4):
+            bands[:, j] = ((sig >> np.uint64(16 * j)) & np.uint64(0xFFFF)) | (
+                np.uint64(j) << np.uint64(48)
+            )
+        return pa.table(
+            {
+                "band_key": pa.array(bands.reshape(-1), pa.uint64()),
+                "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
+                "simhash": pa.array(np.repeat(sig, 4), pa.uint64()),
+            }
+        )
+
+    banded = sigs.map_batches(_emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _verify(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["band_key", "doc_id"]))
+        pairs = _pairs_within_groups(df, "band_key", "doc_id")
+        empty = pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int32()),
+            }
+        )
+        if len(pairs) == 0:
+            return empty
+        sig = t["simhash"].to_numpy()
+        ids = t["doc_id"].to_numpy()
+        x = sig[pairs[:, 0]] ^ sig[pairs[:, 1]]
+        ham = np.zeros(len(x), np.int32)
+        for k in range(64):  # vectorized popcount
+            ham += ((x >> np.uint64(k)) & np.uint64(1)).astype(np.int32)
+        ia, ib = ids[pairs[:, 0]], ids[pairs[:, 1]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        keep = (ham <= max_hamming) & (lo != hi)
+        return pa.table(
+            {
+                "doc_id_a": pa.array(lo[keep], pa.int64()),
+                "doc_id_b": pa.array(hi[keep], pa.int64()),
+                "hamming": pa.array(ham[keep], pa.int32()),
+            }
+        )
+
+    pairs = banded.groupby("band_key").map_groups(_verify, batch_format="pyarrow")
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.unique(["doc_id_a", "doc_id_b"], keep="first", maintain_order=True)
+            .sort(["doc_id_a", "doc_id_b"])
+            .to_arrow()
+        )
+
+    # small result: single-partition dedup keeps it deterministic
+    return pairs.repartition(1).map_batches(_dedup, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+def embedding_dup_pairs(
+    ds: "ray.data.Dataset",
+    tau: float = 0.95,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Pairs with cosine similarity ≥ tau, blocked by ``block_col`` (the
+    IVF-style bucket: at scale the block is a coarse-quantizer cell).
+    Output: (vec_id_a, vec_id_b, cos_sim rounded 6dp), vec_id_a < vec_id_b.
+    """
+
+    def _score(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        mat = np.asarray(t[vec_col].combine_chunks().values).reshape(len(t), -1).astype(
+            np.float64
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        cos = unit @ unit.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        c = cos[iu, ju]
+        keep = c >= tau
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pa.table(
+            {
+                f"{id_col}_a": pa.array(lo, pa.int64()),
+                f"{id_col}_b": pa.array(hi, pa.int64()),
+                "cos_sim": pa.array(np.round(c[keep], 6), pa.float64()),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, block_col, vec_col])
+        .groupby(block_col)
+        .map_groups(_score, batch_format="pyarrow")
+    )

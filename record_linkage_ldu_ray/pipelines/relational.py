@@ -1,0 +1,273 @@
+"""Relational operator demonstrations over the TPC-H-ish test tables.
+
+These exercise the engine's generic primitives — projection/filter (M2/M3),
+groupby aggregation (A4/A5 shape), broadcast lookup join (J4 pattern: small
+side ``ray.put`` once, read per batch — never a shuffle join), ordered
+per-key sequence aggregation (A1 analog), top-k (O4) — each with an exact
+DuckDB-SQL oracle.  Money sums are computed in integer CENTS so Ray and SQL
+agree bit-for-bit (no float summation-order issues).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from record_linkage_ldu_ray.functions.hashing import fnv1a_hash_strings
+
+
+def _cents(col) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0))), pa.int64())
+
+
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped aggregate: per (returnflag, linestatus) sums/counts.
+
+    Partial aggregation happens inside map_batches (combiner), the final
+    groupby only merges ≤ |flags×statuses| tiny partials per block —
+    shuffle volume is O(groups), not O(rows).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.with_columns(
+                (pl.col("l_quantity") * 100).round(0).cast(pl.Int64).alias("qty_c"),
+                (pl.col("l_extendedprice") * 100).round(0).cast(pl.Int64).alias("price_c"),
+                (pl.col("l_discount") * 100).round(0).cast(pl.Int64).alias("disc_c"),
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .agg(
+                pl.col("qty_c").sum().alias("sum_qty_cents"),
+                pl.col("price_c").sum().alias("sum_price_cents"),
+                pl.col("disc_c").sum().alias("sum_disc_cents"),
+                pl.len().cast(pl.Int64).alias("count_rows"),
+            )
+        )
+        return out.to_arrow()
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by(["l_returnflag", "l_linestatus"])
+            .agg(
+                pl.col("sum_qty_cents").sum(),
+                pl.col("sum_price_cents").sum(),
+                pl.col("sum_disc_cents").sum(),
+                pl.col("count_rows").sum(),
+            )
+            .sort(["l_returnflag", "l_linestatus"])
+            .to_arrow()
+        )
+
+    # final merge over the tiny partials table (≤ groups × blocks rows)
+    return partial.repartition(1).map_batches(_merge, batch_format="pyarrow")
+
+
+def orders_by_segment(sf_dir: str):
+    """Broadcast join orders→customer (small side in the object store once),
+    then per-mktsegment order count + totalprice sum in cents."""
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_arrow_refs()
+    cust_tbl = pa.concat_tables([ray.get(r) for r in cust])
+    keys = cust_tbl["c_custkey"].to_numpy()
+    order = np.argsort(keys)
+    lookup_ref = ray.put(
+        (keys[order], np.asarray(cust_tbl["c_mktsegment"].to_pylist(), object)[order])
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        k, seg = ray.get(lookup_ref)
+        ck = t["o_custkey"].to_numpy()
+        idx = np.searchsorted(k, ck)
+        idx_c = np.clip(idx, 0, len(k) - 1)
+        found = k[idx_c] == ck
+        segments = np.where(found, seg[idx_c], None)
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        df = pl.DataFrame(
+            {"c_mktsegment": pl.Series(segments.tolist(), dtype=pl.Utf8), "cents": cents}
+        )
+        return (
+            df.filter(pl.col("c_mktsegment").is_not_null())
+            .group_by("c_mktsegment")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_orders"),
+                pl.col("cents").sum().alias("sum_totalprice_cents"),
+            )
+            .to_arrow()
+        )
+
+    partial = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("c_mktsegment")
+            .agg(pl.col("n_orders").sum(), pl.col("sum_totalprice_cents").sum())
+            .sort("c_mktsegment")
+            .to_arrow()
+        )
+
+    return partial.repartition(1).map_batches(_merge, batch_format="pyarrow")
+
+
+def filter_click_events(sf_dir: str, min_value: float = 50.0):
+    """Projection + row filter pushed to the read (M2/M3): click events with
+    value above threshold."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "value"]
+    )
+
+    def _f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t["event_type"], pa.scalar("click")),
+            pc.greater(t["value"], pa.scalar(min_value)),
+        )
+        return t.filter(mask).select(["event_id", "user_id", "value"])
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_orders(sf_dir: str, k: int = 100):
+    """Deterministic top-k: highest totalprice, ties by orderkey (O4).
+
+    Streaming partial top-k per block, tiny driver merge — no global sort.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        keys = t["o_orderkey"].to_numpy()
+        kk = min(k, len(keys))
+        order = np.lexsort((keys, -cents))[:kk]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys[order], pa.int64()),
+                "totalprice_cents": pa.array(cents[order], pa.int64()),
+            }
+        )
+
+    parts = ray.get(
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True).to_arrow_refs()
+    )
+    merged = pa.concat_tables([p for p in parts if len(p)])
+    cents = merged["totalprice_cents"].to_numpy()
+    keys = merged["o_orderkey"].to_numpy()
+    order = np.lexsort((keys, -cents))[:k]
+    return pa.table(
+        {
+            "o_orderkey": pa.array(keys[order], pa.int64()),
+            "totalprice_cents": pa.array(cents[order], pa.int64()),
+        }
+    )
+
+
+def user_event_features(sf_dir: str, num_parts: int = 32):
+    """Per-user ordered event aggregation — the A1 per-conversation feature
+    pattern over the events table: hash-partition by user, ONE vectorized
+    ordered group_by per partition (event sequence ordered by (ts, event_id)).
+
+    Output: (user_id, n_events:int64, ts_min, ts_max, event_seq:string).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "event_type", "ts"]
+    )
+
+    def _part(t: pa.Table) -> pa.Table:
+        h = fnv1a_hash_strings(t["user_id"].cast(pa.string()))
+        return t.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _agg(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        return (
+            df.sort(["user_id", "ts", "event_id"])
+            .group_by("user_id", maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                pl.col("ts").min().alias("ts_min"),
+                pl.col("ts").max().alias("ts_max"),
+                pl.col("event_type").str.join(",").alias("event_seq"),
+            )
+            .to_arrow()
+        )
+
+    return (
+        ds.map_batches(_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(_agg, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# transcripts derived from the documents table (deterministic graft input)
+
+
+TURN_TOKENS = 8  # words per synthesized turn
+_EPOCH_US = 1704067200_000_000  # 2024-01-01T00:00:00 in µs
+
+
+def transcripts_from_documents(sf_dir: str):
+    """Deterministically explode each document into a multi-turn transcript
+    with the BASELINE.json input_hint schema (conv_id, turn_idx, role, text,
+    tool, ts) — the bridge from the shared test tables to the flagship
+    dedup pipeline.  Pure function of (doc_id, text): same at any
+    parallelism."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _explode(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        turns = (
+            df.with_columns(
+                pl.col("text").str.split(" ").alias("_w"),
+            )
+            .with_columns(
+                (pl.int_ranges(0, pl.col("_w").list.len(), TURN_TOKENS)).alias("_starts")
+            )
+            .explode("_starts")
+            .with_columns(
+                pl.col("_w")
+                .list.slice(pl.col("_starts"), TURN_TOKENS)
+                .list.join(" ")
+                .alias("turn_text"),
+                (pl.col("_starts") // TURN_TOKENS).cast(pl.Int32).alias("turn_idx"),
+            )
+        )
+        doc_id = turns["doc_id"].to_numpy()
+        tix = turns["turn_idx"].to_numpy().astype(np.int64)
+        role = np.where(tix % 2 == 0, "user", "assistant")
+        tool = np.where(tix % 5 == 4, "search", None)
+        role = np.where(tix % 5 == 4, "tool", role)
+        ts = _EPOCH_US + doc_id.astype(np.int64) * 3_600_000_000 + tix * 30_000_000
+        conv_id = pl.Series(doc_id).cast(pl.Utf8).to_numpy()
+        return pa.table(
+            {
+                "conv_id": pa.array([f"doc-{d}" for d in conv_id], pa.string()),
+                "turn_idx": pa.array(tix.astype(np.int32), pa.int32()),
+                "role": pa.array(role, pa.string()),
+                "text": turns["turn_text"].to_arrow().cast(pa.string()),
+                "tool": pa.array(tool.tolist(), pa.string()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+
+    return ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,239 @@
+"""Text analysis operators for training-data curation.
+
+Extends the reference's per-field normalizer family (pre_processing.py:48-79)
+with the per-document statistics a 100 TB text pipeline filters on: token
+counts, quality scores, language ID, content fingerprints.  Every operator is
+one vectorized ``map_batches`` (zero-copy Arrow in, Arrow out) — stateless,
+embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+import ray.data
+
+from record_linkage_ldu_ray.functions.hashing import fnv1a_hash_strings, splitmix64
+
+# BPE-ish pre-tokenizer: word pieces or single non-space symbols (the common
+# GPT-2-style pre-split shape, public knowledge)
+BPE_ISH_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+# Tiny high-frequency marker lists per language (public stopword knowledge) —
+# the classic n-gram/wordlist language-ID heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es": ("el", "la", "de", "que", "y", "los", "una", "por", "con", "para"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une", "dans", "pour", "que"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr")  # deterministic tie-break order
+
+_EN_STOP_SMALL = LANG_MARKERS["en"]
+
+
+def token_counts(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """Whitespace + BPE-ish token counts per document.
+
+    Output: (doc_id, n_ws_tokens, n_bpe_tokens, n_chars) — all int64.
+    """
+
+    def _count(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t[text_col].combine_chunks())
+        ws = (
+            s.str.strip_chars()
+            .str.replace_all(r"\s+", " ")
+            .str.split(" ")
+            .list.eval(pl.element().filter(pl.element() != ""))
+            .list.len()
+        )
+        bpe = s.str.extract_all(BPE_ISH_PATTERN).list.len()
+        nchars = s.str.len_chars()
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_ws_tokens": ws.cast(pl.Int64).to_arrow(),
+                "n_bpe_tokens": bpe.cast(pl.Int64).to_arrow(),
+                "n_chars": nchars.cast(pl.Int64).to_arrow(),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _count, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def quality_scores(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """Heuristic quality features: length, word stats, punctuation and
+    stopword ratios (the usual pre-training filter signals).
+
+    Output: (doc_id, n_chars:int64, n_words:int64, avg_word_len:double,
+    punct_ratio:double, stopword_ratio:double) — ratios rounded to 6dp so a
+    SQL oracle can reproduce them exactly.
+    """
+    stop = list(_EN_STOP_SMALL)
+
+    def _score(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t[text_col].combine_chunks())
+        words = (
+            s.str.strip_chars()
+            .str.replace_all(r"\s+", " ")
+            .str.split(" ")
+            .list.eval(pl.element().filter(pl.element() != ""))
+        )
+        n_words = words.list.len().cast(pl.Int64)
+        n_chars = s.str.len_chars().cast(pl.Int64)
+        total_word_chars = words.list.eval(pl.element().str.len_chars()).list.sum().cast(
+            pl.Int64
+        )
+        n_punct = s.str.count_matches(r"[^A-Za-z0-9\s]").cast(pl.Int64)
+        n_stop = (
+            words.list.eval(pl.element().filter(pl.element().str.to_lowercase().is_in(stop)))
+            .list.len()
+            .cast(pl.Int64)
+        )
+        nw = n_words.to_numpy().astype(np.float64)
+        nc = n_chars.to_numpy().astype(np.float64)
+        safe_w = np.where(nw == 0, 1.0, nw)
+        safe_c = np.where(nc == 0, 1.0, nc)
+        avg_wl = np.round(total_word_chars.to_numpy() / safe_w, 6)
+        punct_ratio = np.round(n_punct.to_numpy() / safe_c, 6)
+        stop_ratio = np.round(n_stop.to_numpy() / safe_w, 6)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_chars": n_chars.to_arrow(),
+                "n_words": n_words.to_arrow(),
+                "avg_word_len": pa.array(avg_wl, pa.float64()),
+                "punct_ratio": pa.array(punct_ratio, pa.float64()),
+                "stopword_ratio": pa.array(stop_ratio, pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def lang_id(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """Wordlist language ID: count marker-word hits per language over the
+    document's lower-cased token set; argmax with deterministic tie-break
+    (en > de > es > fr, 'und' when zero hits everywhere).
+
+    Output: (doc_id, lang_pred:string, lang_hits:int64).
+    """
+
+    def _lid(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t[text_col].combine_chunks())
+        toks = (
+            s.str.to_lowercase()
+            .str.strip_chars()
+            .str.replace_all(r"\s+", " ")
+            .str.split(" ")
+            .list.eval(pl.element().filter(pl.element() != ""))
+            .list.unique()
+        )
+        hits = {}
+        for lang in _LANG_ORDER:
+            markers = list(LANG_MARKERS[lang])
+            hits[lang] = (
+                toks.list.eval(pl.element().filter(pl.element().is_in(markers)))
+                .list.len()
+                .to_numpy()
+                .astype(np.int64)
+            )
+        mat = np.stack([hits[lang] for lang in _LANG_ORDER], axis=1)
+        best = mat.argmax(axis=1)  # first max wins → _LANG_ORDER tie-break
+        best_hits = mat[np.arange(len(mat)), best]
+        langs = np.array(_LANG_ORDER, dtype=object)[best]
+        langs[best_hits == 0] = "und"
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "lang_pred": pa.array(langs, pa.string()),
+                "lang_hits": pa.array(best_hits, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _lid, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def content_fingerprints(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """Exact content fingerprint: SHA-256 hex of the raw text (stable,
+    SQL-verifiable).  Output: (doc_id, sha256:string, n_bytes:int64)."""
+
+    def _fp(t: pa.Table) -> pa.Table:
+        texts = t[text_col].combine_chunks()
+        hexes = [
+            hashlib.sha256(v.encode("utf-8")).hexdigest() if v is not None else None
+            for v in texts.to_pylist()
+        ]
+        nbytes = pl.from_arrow(texts).str.len_bytes().cast(pl.Int64).to_arrow()
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "sha256": pa.array(hexes, pa.string()),
+                "n_bytes": nbytes,
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _fp, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def winnowing_fingerprints(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+):
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): rolling
+    k-gram hashes over characters, minimum per sliding window, deduped —
+    robust partial-overlap fingerprint.  Output: (doc_id,
+    fingerprints:list<uint64>, n_fp:int64).  Deterministic; no SQL oracle
+    (rows-only check)."""
+
+    def _fp(t: pa.Table) -> pa.Table:
+        texts = t[text_col].combine_chunks()
+        out_fps: list[list[int]] = []
+        for v in texts.to_pylist():
+            if not v or len(v) < k:
+                out_fps.append([])
+                continue
+            b = np.frombuffer(v.encode("utf-8"), np.uint8).astype(np.uint64)
+            if len(b) < k:
+                out_fps.append([])
+                continue
+            # rolling polynomial k-gram hash, vectorized via stride trick
+            m = len(b) - k + 1
+            h = np.zeros(m, np.uint64)
+            with np.errstate(over="ignore"):
+                for i in range(k):
+                    h = h * np.uint64(0x100000001B3) + b[i : i + m]
+            h = splitmix64(h)
+            if m <= window:
+                sel = np.array([h.min()], np.uint64)
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(h, window)
+                sel = w.min(axis=1)
+            out_fps.append(sorted(set(int(x) for x in sel)))
+        fps = pa.array(out_fps, pa.list_(pa.uint64()))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "fingerprints": fps,
+                "n_fp": pa.array([len(f) for f in out_fps], pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _fp, batch_format="pyarrow", zero_copy_batch=True
+    )
