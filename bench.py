@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Benchmark harness — prints ONE JSON line.
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "pairs_scored": P, "pairs_per_s": T}
+
+``--scaling`` runs the flagship transcript-dedup job twice in FRESH
+subprocesses (num_cpus=8 then num_cpus=32 by default) on the same input and
+reports throughput at both plus scaling efficiency
+``(tp_hi / tp_lo) / (hi / lo)`` — the sandbox evidence for the
+N → 4N-node criterion in BASELINE.md.
+
+``--_worker`` (internal) is the per-CPU-level subprocess entry.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def _consume(res) -> int:
+    """Execute a lazy result and return its row count without pulling data
+    to the driver (Dataset.count() streams; tables/frames are already
+    small driver-side results)."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    return len(res)
+
+
+def run_flagship(sf_dir: str) -> dict:
+    """Flagship: documents → transcripts → full dedup DAG (streaming, no
+    checkpoints).  Returns elapsed, pairs scored, clusters."""
+    from record_linkage_ldu_ray.pipelines.dedup import dedup_transcripts
+    from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
+
+    t0 = time.perf_counter()
+    res = dedup_transcripts(transcripts_from_documents(sf_dir))
+    n_pairs = res.scores.count()
+    n_clusters = res.clusters.count()
+    dt = time.perf_counter() - t0
+    return {
+        "sec": dt,
+        "pairs_scored": n_pairs,
+        "pairs_per_s": n_pairs / dt if dt > 0 else 0.0,
+        "rows_out": n_clusters,
+    }
+
+
+def bench_queries(sf_dir: str) -> dict[str, float]:
+    """Time a representative subset of the queries() surface."""
+    import __ray_entry__ as e
+
+    names = [
+        "lineitem_pricing",
+        "user_event_features",
+        "token_counts",
+        "minhash_lsh_dup_pairs",
+        "ann_topk",
+    ]
+    qs = e.queries()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _consume(qs[name](sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _worker(sf_dir: str, num_cpus: int, flagship_only: bool) -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
+    try:
+        flag = run_flagship(sf_dir)
+        queries = {} if flagship_only else bench_queries(sf_dir)
+        total = flag["sec"] + sum(queries.values())
+        queries["transcript_dedup"] = round(flag["sec"], 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "headline pipelines wall time (flagship transcript dedup + operator subset)",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": _sf_of(sf_dir),
+                    "num_cpus": num_cpus,
+                    "pairs_scored": flag["pairs_scored"],
+                    "pairs_per_s": round(flag["pairs_per_s"], 1),
+                    "rows_out": flag["rows_out"],
+                }
+            )
+        )
+    finally:
+        ray.shutdown()
+
+
+def _scaling(sf_dir: str, lo: int, hi: int) -> None:
+    results = {}
+    for n in (lo, hi):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--_worker",
+                "--flagship-only",
+                "--cpus",
+                str(n),
+            ],
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            capture_output=True,
+            text=True,
+            check=False,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+        if proc.returncode != 0 or not line:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"scaling worker (num_cpus={n}) failed")
+        results[n] = json.loads(line[-1])
+    tp_lo = results[lo]["pairs_per_s"]
+    tp_hi = results[hi]["pairs_per_s"]
+    eff = (tp_hi / tp_lo) / (hi / lo) if tp_lo > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": "flagship scaling efficiency (pairs/s at two fresh-process CPU levels)",
+                "value": round(eff, 3),
+                "unit": "efficiency",
+                "sf": _sf_of(sf_dir),
+                "levels": {
+                    str(lo): {
+                        "sec": results[lo]["queries"]["transcript_dedup"],
+                        "pairs_per_s": tp_lo,
+                    },
+                    str(hi): {
+                        "sec": results[hi]["queries"]["transcript_dedup"],
+                        "pairs_per_s": tp_hi,
+                    },
+                },
+                "pairs_scored": results[hi]["pairs_scored"],
+            }
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--_worker", dest="worker", action="store_true")
+    ap.add_argument("--flagship-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--lo", type=int, default=8)
+    ap.add_argument("--hi", type=int, default=32)
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args.scaling:
+        _scaling(sf_dir, args.lo, args.hi)
+    else:
+        _worker(sf_dir, num_cpus, args.flagship_only)
+
+
+if __name__ == "__main__":
+    main()

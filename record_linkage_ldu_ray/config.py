@@ -117,7 +117,8 @@ class ScoringConfig:
     )
     # Jaro-Winkler on very long concatenated text is O(L^2); cap the compared
     # prefix (the normalized text is token-sorted so prefixes are stable).
-    jw_text_max_chars: int = 128
+    # 64 = the bit-parallel batch kernel's word width (functions/sim.py).
+    jw_text_max_chars: int = 64
     # timestamp-gap feature: ts_sim = exp(-|Δts_min| / tau)
     ts_tau_seconds: float = 7 * 24 * 3600.0
 

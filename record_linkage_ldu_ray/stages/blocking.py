@@ -36,8 +36,13 @@ from record_linkage_ldu_ray.functions.text import soundex_array
 _PREFIX_TAG = np.uint64(0x9E37_0001)
 
 
-def _record_keys(batch: pa.Table, cfg: PipelineConfig) -> tuple[np.ndarray, np.ndarray]:
-    """(flat_keys, row_indices): every blocking key of every record."""
+def _record_keys(
+    batch: pa.Table, cfg: PipelineConfig
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat_keys, row_indices, key_src): every blocking key of every
+    record; ``key_src`` is the band index the key came from (prefix key =
+    ``cfg.blocking.bands``) — the pair stage's lowest-colliding-band dedup
+    relies on it."""
     n = len(batch)
     mh = batch["minhash"]
     if isinstance(mh, pa.ChunkedArray):
@@ -49,11 +54,13 @@ def _record_keys(batch: pa.Table, cfg: PipelineConfig) -> tuple[np.ndarray, np.n
 
     keys = []
     rows = []
+    srcs = []
     bands = cfg.blocking.bands
     row_idx = np.arange(n, dtype=np.int64)
     for j in range(bands):
         keys.append(band_keys[nonempty, j])
         rows.append(row_idx[nonempty])
+        srcs.append(np.full(int(nonempty.sum()), j, dtype=np.int8))
     if cfg.blocking.use_prefix_key:
         first = np.array(
             [x if x is not None else "" for x in batch["first_token"].to_pylist()],
@@ -64,15 +71,20 @@ def _record_keys(batch: pa.Table, cfg: PipelineConfig) -> tuple[np.ndarray, np.n
         has_tok = np.array([bool(c) for c in codes])
         keys.append(pk[has_tok])
         rows.append(row_idx[has_tok])
+        srcs.append(np.full(int(has_tok.sum()), bands, dtype=np.int8))
     # int64 view: Ray Data sort/groupby handles int64 natively (uint64 above
     # 2^63 falls back to Python objects), wrap semantics preserved
-    return np.concatenate(keys).view(np.int64), np.concatenate(rows)
+    return (
+        np.concatenate(keys).view(np.int64),
+        np.concatenate(rows),
+        np.concatenate(srcs),
+    )
 
 
 def _emit_key_counts(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     """Pass A: partial per-batch key counts (pre-aggregation before the tiny
     groupby — avoids shuffling one row per (record, key))."""
-    flat_keys, _ = _record_keys(batch, cfg)
+    flat_keys, _, _ = _record_keys(batch, cfg)
     uniq, cnt = np.unique(flat_keys, return_counts=True)
     return pa.table({"block_key": pa.array(uniq, pa.int64()), "n": pa.array(cnt, pa.int64())})
 
@@ -101,7 +113,7 @@ def hot_key_table(features_ds, cfg: PipelineConfig) -> dict[int, int]:
 
 def _emit_block_rows(batch: pa.Table, cfg: PipelineConfig, hot: dict[int, int]) -> pa.Table:
     """Pass B: replicate each record to all its (salted) block keys."""
-    flat_keys, rows = _record_keys(batch, cfg)
+    flat_keys, rows, srcs = _record_keys(batch, cfg)
 
     if hot:
         conv_h = fnv1a_hash_strings(batch["conv_id"])
@@ -109,11 +121,13 @@ def _emit_block_rows(batch: pa.Table, cfg: PipelineConfig, hot: dict[int, int]) 
         is_hot = np.isin(flat_keys, hot_keys)
         hk = flat_keys[is_hot].view(np.uint64)
         hr = rows[is_hot]
+        hs = srcs[is_hot]
         # vectorized triangle replication: record with bucket b goes to the
         # s sub-blocks {(min(b,j), max(b,j)) : j < s}
         s_arr = np.array([hot[int(k.view(np.int64))] for k in hk], dtype=np.int64)
         rep_keys = np.repeat(hk, s_arr)
         rep_rows = np.repeat(hr, s_arr)
+        rep_srcs = np.repeat(hs, s_arr)  # salted sub-blocks keep the source
         total = int(s_arr.sum())
         j_idx = np.arange(total, dtype=np.int64) - np.repeat(
             np.cumsum(s_arr) - s_arr, s_arr
@@ -127,9 +141,25 @@ def _emit_block_rows(batch: pa.Table, cfg: PipelineConfig, hot: dict[int, int]) 
             salted = splitmix64(rep_keys ^ (lo * np.uint64(0x10000) + hi + np.uint64(0xA17)))
         flat_keys = np.concatenate([flat_keys[~is_hot], salted.view(np.int64)])
         rows = np.concatenate([rows[~is_hot], rep_rows])
+        srcs = np.concatenate([srcs[~is_hot], rep_srcs])
+        # a same-bucket pair co-occurs in EVERY off-diagonal sub-block that
+        # includes its bucket; the pair stage keeps it only in the diagonal
+        # (lo == hi) sub-block, so each replica records its bucket + whether
+        # its sub-block is diagonal
+        n_cold = int((~is_hot).sum())
+        bucket = np.concatenate(
+            [np.full(n_cold, -1, np.int8), b_rep.astype(np.int8)]
+        )
+        diag = np.concatenate([np.zeros(n_cold, bool), lo == hi])
+    else:
+        bucket = np.full(len(rows), -1, np.int8)
+        diag = np.zeros(len(rows), bool)
 
     taken = batch.take(pa.array(rows, pa.int64()))
-    return taken.append_column("block_key", pa.array(flat_keys, pa.int64()))
+    taken = taken.append_column("block_key", pa.array(flat_keys, pa.int64()))
+    taken = taken.append_column("key_src", pa.array(srcs, pa.int8()))
+    taken = taken.append_column("salt_bucket", pa.array(bucket, pa.int8()))
+    return taken.append_column("salt_diag", pa.array(diag, pa.bool_()))
 
 
 def emit_block_rows(features_ds, cfg: PipelineConfig, hot: dict[int, int]):

@@ -5,14 +5,20 @@ is a greedy single-pass closure over the edge list in driver memory; it can
 emit overlapping groups (the very thing its ``validate_groups`` checks for,
 main_ldu_hw.py:64-94).  The intended semantics is true connected components
 ("A==B and B==C ⇒ [A,B,C] same client", main_ldu_hw.py:27) — implemented
-here as iterative star contraction expressed as groupby-aggregate passes
-("Finding connected components in map-reduce in logarithmic rounds",
-ICDE'13):
+here as iterated LOCAL union-find + hash-partitioned exchange (the
+"hash-to-min on partitions" scheme of the map-reduce CC literature,
+ICDE'13 "Finding connected components in map-reduce in logarithmic
+rounds"):
 
-  round: symmetrize edges; per node u, m = min(N(u) ∪ {u}); re-emit
-  {(v, m) : v ∈ N(u) ∪ {u}}, drop self-loops, dedup.  Converges in
-  O(log n) rounds (fixpoint = edge multiset stable); each round is one
-  hash-partitioned groupby over the (shrinking) edge list.
+  - pre-contraction: every edge batch collapses to a spanning star
+    (node → local min root) via a vectorized numpy union-find — a dense
+    component of E edges shrinks to ≤ |nodes| edges BEFORE any shuffle;
+  - round: symmetrize, hash-partition by node, full local union-find per
+    partition, re-emit (node → root) stars; labels only decrease, fixpoint
+    (checksum-stable edge multiset) = exact global components in
+    O(log diameter) rounds of the contracted graph;
+  - partition count adapts to the shrinking edge list so late rounds don't
+    pay 64-task scheduling overhead for a few thousand edges.
 
 Final labels: cluster_id = min conv_id of the component; singletons (convs
 with no matched edge) are their own cluster.  The D4 invariant — every
@@ -25,7 +31,6 @@ from __future__ import annotations
 import numpy as np
 import polars as pl
 import pyarrow as pa
-import ray.data
 
 from record_linkage_ldu_ray.config import PipelineConfig
 from record_linkage_ldu_ray.functions.hashing import fnv1a_hash_strings, pair_hash
@@ -36,19 +41,50 @@ def _add_upart(batch: pa.Table, num_parts: int) -> pa.Table:
     return batch.append_column("upart", pa.array(part, pa.int32()))
 
 
-def _star_contract(tbl: pa.Table) -> pa.Table:
-    """One star-contraction pass over a node-partition (vectorized)."""
-    df = pl.from_arrow(tbl.drop_columns(["upart"]))
-    # m(u) = min over the group of (neighbors ∪ {u})
-    mins = df.group_by("u").agg(pl.min_horizontal(pl.col("v").min(), pl.col("u").first()).alias("m"))
-    out = (
-        df.join(mins, on="u")
-        .select(pl.col("v").alias("u"), pl.col("m").alias("v"))
-        .extend(mins.select(pl.col("u"), pl.col("m").alias("v")))
-        .filter(pl.col("u") != pl.col("v"))
-        .unique()
+def union_find_codes(us: np.ndarray, vs: np.ndarray, n: int) -> np.ndarray:
+    """Exact connected components over integer-coded edges — vectorized
+    hooking (min-label) + pointer jumping; O(E · α)-ish in numpy passes.
+    Returns the root (component min) for each of the n nodes."""
+    parent = np.arange(n, dtype=np.int64)
+    while True:
+        pu = parent[us]
+        pv = parent[vs]
+        lo = np.minimum(pu, pv)
+        hi = np.maximum(pu, pv)
+        before = parent.copy()
+        np.minimum.at(parent, hi, lo)
+        # pointer jumping to full compression
+        while True:
+            nxt = parent[parent]
+            if np.array_equal(nxt, parent):
+                break
+            parent = nxt
+        if np.array_equal(parent, before):
+            return parent
+
+
+def _contract(tbl: pa.Table) -> pa.Table:
+    """Edge table (u, v strings) → spanning-star edges (node, root) of its
+    LOCAL components, root = min node string; self-loops dropped."""
+    if "upart" in tbl.column_names:
+        tbl = tbl.drop_columns(["upart"])
+    if len(tbl) == 0:
+        return pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
+    u = tbl["u"].cast(pa.string()).combine_chunks() if isinstance(tbl["u"], pa.ChunkedArray) else tbl["u"].cast(pa.string())
+    v = tbl["v"].cast(pa.string()).combine_chunks() if isinstance(tbl["v"], pa.ChunkedArray) else tbl["v"].cast(pa.string())
+    ustr = np.asarray(u.to_pylist(), dtype=object)
+    vstr = np.asarray(v.to_pylist(), dtype=object)
+    uniq, inv = np.unique(np.concatenate([ustr, vstr]), return_inverse=True)
+    m = len(ustr)
+    roots = union_find_codes(inv[:m], inv[m:], len(uniq))
+    node = np.arange(len(uniq), dtype=np.int64)
+    keep = roots != node
+    return pa.table(
+        {
+            "u": pa.array(uniq[node[keep]], pa.string()),
+            "v": pa.array(uniq[roots[keep]], pa.string()),
+        }
     )
-    return out.to_arrow()
 
 
 def _symmetrize(batch: pa.Table) -> pa.Table:
@@ -57,7 +93,7 @@ def _symmetrize(batch: pa.Table) -> pa.Table:
 
 
 def _edge_checksum(ds) -> tuple[int, int]:
-    """(count, xor-ish sum of pair hashes) — cheap fixpoint detector."""
+    """(count, sum of pair hashes) — cheap fixpoint detector."""
 
     def _part(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -75,38 +111,42 @@ def connected_components(edges_ds, all_ids_ds, cfg: PipelineConfig):
     """Edge list (conv_id_a, conv_id_b) + universe of conv_ids →
     (conv_id, cluster_id) with every conv_id exactly once.
 
-    ``edges_ds`` must be small relative to the input (it is: matched pairs
-    only), but clustering still runs distributed — each round is a
-    hash-partitioned groupby, never a driver-side union-find.
+    Each round is a hash-partitioned groupby + local union-find — never a
+    driver-side closure; the edge list shrinks to ≤ one star edge per
+    non-root node after the first pass.
     """
-    edges = edges_ds.map_batches(
-        lambda t: pa.table({"u": t["conv_id_a"], "v": t["conv_id_b"]}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).materialize()
+    edges = (
+        edges_ds.map_batches(
+            lambda t: pa.table({"u": t["conv_id_a"], "v": t["conv_id_b"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(_contract, batch_format="pyarrow")  # local pre-contraction
+        .materialize()
+    )
 
     prev = None
     rounds = 0
     for rounds in range(1, cfg.max_unionfind_rounds + 1):
+        n_edges = edges.count()
+        if n_edges == 0:
+            break
+        # ≥ ~100k edges per partition-task; small graphs run in few tasks
+        num_parts = int(min(cfg.pair_partitions, max(1, n_edges // 100_000 + 1)))
         sym = edges.map_batches(_symmetrize, batch_format="pyarrow", zero_copy_batch=True)
         sym = sym.map_batches(
             _add_upart,
             batch_format="pyarrow",
-            fn_kwargs={"num_parts": cfg.pair_partitions},
+            fn_kwargs={"num_parts": num_parts},
         )
-        edges = (
-            sym.groupby("upart")
-            .map_groups(_star_contract, batch_format="pyarrow")
-            .materialize()
-        )
+        edges = sym.groupby("upart").map_groups(_contract, batch_format="pyarrow").materialize()
         cur = _edge_checksum(edges)
         if cur == prev:
             break
         prev = cur
 
-    # labels: node → min(neighbor ∪ self); after convergence every edge is
-    # (node, root).  Include self-edges for the whole universe so singletons
-    # label themselves.
+    # labels: after convergence every edge is (node, root).  Include
+    # self-edges for the whole universe so singletons label themselves.
     self_edges = all_ids_ds.map_batches(
         lambda t: pa.table({"u": t["conv_id"], "v": t["conv_id"]}),
         batch_format="pyarrow",

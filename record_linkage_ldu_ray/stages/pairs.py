@@ -1,18 +1,27 @@
-"""S4 — within-block pair enumeration + cross-block pair dedup
-(shuffles #2 and #3; SURVEY J1/J2 replacement + D7).
+"""S4 — within-block pair enumeration with shuffle-free pair dedup
+(shuffle #2 — the ONLY pair-stage exchange; SURVEY J1/J2 replacement + D7).
 
 The reference's ``recordlinkage`` full index yields every pair exactly once
 (compare_ldu_hw.py:160-162); with multi-key LSH blocking the same pair
-arises in several blocks, so a dedup on the canonical pair key
-(conv_id_a < conv_id_b, compare_ldu_ldu.py self-pair exclusion semantics)
-is required before scoring (D7 — avoids double-scoring and double edges).
+arises in several blocks.  Instead of a global shuffle-dedup on a pair hash
+(an extra all-to-all over 1-2 KB wide pair rows — the dominant exchange at
+10^12-turn scale), each pair is emitted from exactly ONE of its colliding
+blocks, decided locally: the **lowest colliding band** rule.  Both sides'
+MinHash signatures are present at enumeration time, so the first band index
+``c`` where their band hashes agree is computable in the block task; the
+pair is kept iff this block's source key index equals ``c`` (the prefix /
+phonetic key acts as band index ``bands``, i.e. it only emits pairs that
+collide in NO LSH band).  Salted sub-blocks inherit the parent key's source
+index, and the triangle replication scheme guarantees each pair co-occurs
+in exactly one sub-block — so the rule stays exact under salting.
 
 Physical plan: block rows are hash-bucketed by block_key into
-``cfg.pair_partitions`` parts; inside each part ONE vectorized polars
-self-join on block_key (filtered to conv_id_a < conv_id_b) enumerates all
-within-block pairs, carrying both sides' features into wide pair rows.
-A second hash-bucketed pass dedups on the pair hash.  No per-block Python
-call, no driver-side loop.
+``cfg.pair_partitions`` parts; inside each part the self-join runs on a
+NARROW (block_key, row-index, conv_id) frame, the canonicality filter is
+applied on row indices, and only surviving pairs gather their wide feature
+payload (one ``Table.take`` per side).  The MinHash Jaccard estimate is
+computed here (both signatures in hand) and the 512-byte signatures are
+dropped from the pair rows — scoring needs only the estimate.
 """
 
 from __future__ import annotations
@@ -22,19 +31,22 @@ import polars as pl
 import pyarrow as pa
 
 from record_linkage_ldu_ray.config import PipelineConfig
-from record_linkage_ldu_ray.functions.hashing import pair_hash
+from record_linkage_ldu_ray.functions.minhash import EMPTY_SENTINEL, lsh_band_hashes
 
+# feature columns carried into pair rows (per side); ts_max / minhash are
+# intentionally absent — the scorer uses ts_min and the precomputed estimate
 _SIDE_COLS = [
     "conv_id",
     "n_turns",
-    "n_tokens",
     "text_prefix",
     "role_seq",
     "tool_seq",
     "ts_min",
-    "ts_max",
     "tok_hashes",
-    "minhash",
+]
+
+PAIR_COLUMNS = [f"{c}_a" for c in _SIDE_COLS] + [f"{c}_b" for c in _SIDE_COLS] + [
+    "minhash_est"
 ]
 
 
@@ -44,51 +56,90 @@ def _add_block_part(batch: pa.Table, num_parts: int) -> pa.Table:
     return batch.append_column("bpart", pa.array(part, pa.int32()))
 
 
-def _enumerate_part(tbl: pa.Table) -> pa.Table:
-    df = pl.from_arrow(tbl.drop_columns(["bpart"]))
-    df = df.select(["block_key"] + _SIDE_COLS)
-    left = df.rename({c: f"{c}_a" for c in _SIDE_COLS})
-    right = df.rename({c: f"{c}_b" for c in _SIDE_COLS})
-    pairs = (
-        left.join(right, on="block_key")
-        .filter(pl.col("conv_id_a") < pl.col("conv_id_b"))
-        .drop("block_key")
-        # same pair via two keys in this part: drop here already (cheap)
-        .unique(subset=["conv_id_a", "conv_id_b"], keep="any")
+def _enumerate_part(tbl: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    n = len(tbl)
+    bk = tbl["block_key"].to_numpy(zero_copy_only=False)
+    conv = tbl["conv_id"]
+    if isinstance(conv, pa.ChunkedArray):
+        conv = conv.combine_chunks()
+
+    # narrow self-join: only (block_key, row idx, conv_id) participate
+    df = pl.DataFrame(
+        {
+            "bk": bk,
+            "idx": np.arange(n, dtype=np.int64),
+            "cid": pl.from_arrow(conv),
+        }
     )
-    out = pairs.to_arrow()
-    if len(out) == 0:
-        ph = np.empty(0, np.uint64)
-    else:
-        ph = pair_hash(out["conv_id_a"], out["conv_id_b"])
-    return out.append_column("pair_hash", pa.array(ph, pa.uint64()))
+    j = (
+        df.join(df, on="bk", suffix="_b")
+        .filter(pl.col("cid") < pl.col("cid_b"))
+        .select("idx", "idx_b")
+    )
+    ia = j["idx"].to_numpy()
+    ib = j["idx_b"].to_numpy()
+    k = cfg.minhash.num_perm
 
+    if len(ia) > 0:
+        # lowest-colliding-band canonicality (see module docstring)
+        mh = tbl["minhash"]
+        if isinstance(mh, pa.ChunkedArray):
+            mh = mh.combine_chunks()
+        sigs = mh.flatten().to_numpy(zero_copy_only=False).reshape(n, k)
+        bands_hashes = lsh_band_hashes(sigs, cfg.blocking)  # (n, bands)
+        eq = bands_hashes[ia] == bands_hashes[ib]
+        first = np.where(eq.any(axis=1), eq.argmax(axis=1), cfg.blocking.bands)
+        src = tbl["key_src"].to_numpy(zero_copy_only=False)[ia]
+        keep = first == src.astype(np.int64)
+        # salted sub-blocks: a same-bucket pair appears in every off-diagonal
+        # sub-block containing its bucket — keep it only in the diagonal one
+        sb = tbl["salt_bucket"].to_numpy(zero_copy_only=False)
+        sd = tbl["salt_diag"].to_numpy(zero_copy_only=False)
+        salted = sb[ia] >= 0
+        same_bucket = sb[ia] == sb[ib]
+        keep &= ~salted | (sd[ia] & same_bucket) | (~sd[ia] & ~same_bucket)
+        ia, ib = ia[keep], ib[keep]
 
-def _add_pair_part(batch: pa.Table, num_parts: int) -> pa.Table:
-    ph = batch["pair_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    part = (ph % np.uint64(num_parts)).astype(np.int32)
-    return batch.append_column("ppart", pa.array(part, pa.int32()))
+    if len(ia) == 0:
+        empty = {}
+        for s in _SIDE_COLS:
+            t = tbl.schema.field(s).type
+            empty[f"{s}_a"] = pa.array([], t)
+        for s in _SIDE_COLS:
+            empty[f"{s}_b"] = pa.array([], tbl.schema.field(s).type)
+        empty["minhash_est"] = pa.array([], pa.float32())
+        return pa.table(empty)
 
+    # MinHash Jaccard estimate — signatures do NOT travel in pair rows
+    sa, sb = sigs[ia], sigs[ib]
+    est = (sa == sb).mean(axis=1).astype(np.float32)
+    est[(sa[:, 0] == EMPTY_SENTINEL) | (sb[:, 0] == EMPTY_SENTINEL)] = 0.0
 
-def _dedup_part(tbl: pa.Table) -> pa.Table:
-    df = pl.from_arrow(tbl.drop_columns(["ppart"]))
-    return df.unique(subset=["pair_hash"], keep="any").to_arrow()
+    side = tbl.select(_SIDE_COLS)
+    ta = side.take(pa.array(ia, pa.int64())).rename_columns([f"{c}_a" for c in _SIDE_COLS])
+    tb = side.take(pa.array(ib, pa.int64())).rename_columns([f"{c}_b" for c in _SIDE_COLS])
+    out = pa.table(
+        {
+            **{c: ta[c] for c in ta.column_names},
+            **{c: tb[c] for c in tb.column_names},
+            "minhash_est": pa.array(est),
+        }
+    )
+    return out
 
 
 def generate_pairs(block_rows_ds, cfg: PipelineConfig):
-    """Block rows → deduplicated candidate pair rows (features of both
-    sides inline, canonical conv_id_a < conv_id_b)."""
+    """Block rows → candidate pair rows, each pair exactly once (canonical
+    conv_id_a < conv_id_b, lowest-colliding-band dedup — no second
+    shuffle)."""
     ds = block_rows_ds.map_batches(
         _add_block_part,
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_kwargs={"num_parts": cfg.pair_partitions},
     )
-    pairs = ds.groupby("bpart").map_groups(_enumerate_part, batch_format="pyarrow")
-    pairs = pairs.map_batches(
-        _add_pair_part,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        fn_kwargs={"num_parts": cfg.pair_partitions},
-    )
-    return pairs.groupby("ppart").map_groups(_dedup_part, batch_format="pyarrow")
+
+    def _enum(tbl: pa.Table) -> pa.Table:
+        return _enumerate_part(tbl.drop_columns(["bpart"]), cfg)
+
+    return ds.groupby("bpart").map_groups(_enum, batch_format="pyarrow")

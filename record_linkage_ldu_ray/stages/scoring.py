@@ -31,7 +31,7 @@ import pyarrow as pa
 from record_linkage_ldu_ray.config import PipelineConfig
 from record_linkage_ldu_ray.functions.sim import (
     jaccard_sorted_u64,
-    jaro_winkler,
+    jaro_winkler_batch,
     minmax_ratio,
 )
 
@@ -64,20 +64,26 @@ class PairScorer:
         # docstring); 0 disables the shortcut.
         self.est_floor = 0.15
 
+    @staticmethod
+    def _jw_gated(a: list, b: list, active: np.ndarray, max_len: int) -> np.ndarray:
+        """Batched Jaro-Winkler on the gated subset; missing-either → 0
+        (README.md:169 missing-field rule)."""
+        sa = [a[i] for i in active]
+        sb = [b[i] for i in active]
+        out = jaro_winkler_batch(sa, sb, max_len=min(max_len, 64))
+        both = np.fromiter(
+            (bool(x) and bool(y) for x, y in zip(sa, sb)), dtype=bool, count=len(sa)
+        )
+        return np.where(both, out, np.float32(0.0)).astype(np.float32)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
         cols = {}
 
         # ---- vectorized cheap features -------------------------------
-        mh_a = _np_u64(batch["minhash_a"]).flatten().to_numpy(zero_copy_only=False).reshape(n, self.k)
-        mh_b = _np_u64(batch["minhash_b"]).flatten().to_numpy(zero_copy_only=False).reshape(n, self.k)
-        est = (mh_a == mh_b).mean(axis=1).astype(np.float32)
-        # all-sentinel (empty token set) signatures: missing → 0
-        from record_linkage_ldu_ray.functions.minhash import EMPTY_SENTINEL
-
-        empty_a = mh_a[:, 0] == EMPTY_SENTINEL
-        empty_b = mh_b[:, 0] == EMPTY_SENTINEL
-        est[empty_a | empty_b] = 0.0
+        # MinHash estimate was computed at pair-enumeration time (both
+        # signatures in hand there; they do not travel in pair rows)
+        est = batch["minhash_est"].to_numpy(zero_copy_only=False).astype(np.float32)
         cols["minhash_est"] = est
 
         ts_a = batch["ts_min_a"].cast(pa.int64()).to_numpy(zero_copy_only=False)
@@ -97,32 +103,25 @@ class PairScorer:
         val_a = tok_a.values.to_numpy(zero_copy_only=False)
         val_b = tok_b.values.to_numpy(zero_copy_only=False)
 
-        txt_a = batch["text_prefix_a"].to_pylist()
-        txt_b = batch["text_prefix_b"].to_pylist()
-        role_a = batch["role_seq_a"].to_pylist()
-        role_b = batch["role_seq_b"].to_pylist()
-        tool_a = batch["tool_seq_a"].to_pylist()
-        tool_b = batch["tool_seq_b"].to_pylist()
-
         jac = np.zeros(n, dtype=np.float32)
         jw_t = np.zeros(n, dtype=np.float32)
         jw_r = np.zeros(n, dtype=np.float32)
         jw_o = np.zeros(n, dtype=np.float32)
-        jwm = self.jw_max
         active = np.nonzero(est >= self.est_floor)[0]
-        for i in active:
-            jac[i] = jaccard_sorted_u64(
-                val_a[off_a[i] : off_a[i + 1]], val_b[off_b[i] : off_b[i + 1]]
-            )
-            ta, tb = txt_a[i], txt_b[i]
-            if ta and tb:
-                jw_t[i] = jaro_winkler(ta[:jwm], tb[:jwm])
-            ra, rb = role_a[i], role_b[i]
-            if ra and rb:
-                jw_r[i] = jaro_winkler(ra, rb)
-            oa, ob = tool_a[i], tool_b[i]
-            if oa and ob:
-                jw_o[i] = jaro_winkler(oa, ob)
+        if len(active):
+            for i in active:
+                jac[i] = jaccard_sorted_u64(
+                    val_a[off_a[i] : off_a[i + 1]], val_b[off_b[i] : off_b[i + 1]]
+                )
+            txt_a = batch["text_prefix_a"].to_pylist()
+            txt_b = batch["text_prefix_b"].to_pylist()
+            role_a = batch["role_seq_a"].to_pylist()
+            role_b = batch["role_seq_b"].to_pylist()
+            tool_a = batch["tool_seq_a"].to_pylist()
+            tool_b = batch["tool_seq_b"].to_pylist()
+            jw_t[active] = self._jw_gated(txt_a, txt_b, active, self.jw_max)
+            jw_r[active] = self._jw_gated(role_a, role_b, active, 64)
+            jw_o[active] = self._jw_gated(tool_a, tool_b, active, 64)
         cols["jac_text"] = jac
         cols["jw_text"] = jw_t
         cols["jw_role"] = jw_r

@@ -194,3 +194,78 @@ class TestMinHash:
         assert (keys[0] == keys[1]).all()
         # band index mixed in: a row's bands differ from each other
         assert len(np.unique(keys[0])) == bcfg.bands
+
+
+class TestBatchKernels:
+    """Batched kernels must agree exactly with their scalar references."""
+
+    def test_jaro_winkler_batch_matches_scalar(self):
+        from record_linkage_ldu_ray.functions.sim import jaro_winkler_batch
+
+        rng = np.random.default_rng(7)
+        alpha = list("abcdef ")
+        cases = [("", ""), ("a", ""), ("", "a"), ("a", "a"), ("ab", "ba"),
+                 ("martha", "marhta"), ("dixon", "dicksonx"), ("abc", "abc")]
+        for _ in range(500):
+            n1, n2 = rng.integers(0, 30, 2)
+            cases.append(("".join(rng.choice(alpha, n1)),
+                          "".join(rng.choice(alpha, n2))))
+        got = jaro_winkler_batch([c[0] for c in cases], [c[1] for c in cases])
+        for i, (s1, s2) in enumerate(cases):
+            assert got[i] == pytest.approx(jaro_winkler(s1, s2), abs=1e-6), (s1, s2)
+
+    def test_jaro_winkler_batch_truncates_at_64(self):
+        from record_linkage_ldu_ray.functions.sim import jaro_winkler_batch
+
+        a, b = "x" * 100, "x" * 100
+        assert jaro_winkler_batch([a], [b])[0] == pytest.approx(1.0)
+
+    def test_jaro_winkler_batch_none_is_empty(self):
+        from record_linkage_ldu_ray.functions.sim import jaro_winkler_batch
+
+        got = jaro_winkler_batch([None, "ab"], ["ab", None])
+        assert got[0] == 0.0 and got[1] == 0.0
+
+    def test_union_find_codes(self):
+        from record_linkage_ldu_ray.stages.cluster import union_find_codes
+
+        # 0-1, 1-2 | 3-4 | 5 isolated
+        us = np.array([1, 2, 4])
+        vs = np.array([0, 1, 3])
+        roots = union_find_codes(us, vs, 6)
+        assert roots.tolist() == [0, 0, 0, 3, 3, 5]
+
+    def test_union_find_codes_random_vs_bruteforce(self):
+        rng = np.random.default_rng(11)
+        from record_linkage_ldu_ray.stages.cluster import union_find_codes
+
+        n = 200
+        m = 150
+        us = rng.integers(0, n, m)
+        vs = rng.integers(0, n, m)
+        roots = union_find_codes(us, vs, n)
+        # brute force
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in zip(us, vs):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = [find(i) for i in range(n)]
+        # map both labelings to component-min canonical form
+        import collections
+        comp = collections.defaultdict(list)
+        for i, r in enumerate(expect):
+            comp[r].append(i)
+        canon = {}
+        for r, mem in comp.items():
+            mn = min(mem)
+            for x in mem:
+                canon[x] = mn
+        assert roots.tolist() == [canon[i] for i in range(n)]

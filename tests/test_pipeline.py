@@ -114,3 +114,14 @@ class TestInvariants:
         df = res.clusters.to_pandas().sort_values("conv_id").reset_index(drop=True)
         assert sorted(df["conv_id"]) == ["c-empty", "c-null", "c-ok"]
         assert (df["conv_id"] == df["cluster_id"]).all()
+
+
+class TestPairUniqueness:
+    def test_each_pair_emitted_exactly_once(self, dedup_run):
+        """Lowest-colliding-band + salt-diagonal dedup: the candidate pair
+        set must contain every pair at most once even with hot-block
+        salting active (the fixture plants a hot anchor)."""
+        res, _, _ = dedup_run
+        df = res.scores.to_pandas()[["conv_id_a", "conv_id_b"]]
+        assert not df.duplicated().any()
+        assert (df["conv_id_a"] < df["conv_id_b"]).all()
