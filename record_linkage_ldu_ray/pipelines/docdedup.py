@@ -81,21 +81,41 @@ def _ws_token_lists(texts: pa.ChunkedArray | pa.Array) -> pl.Series:
     return s.str.strip_chars().str.replace_all(r"\s+", " ").str.split(" ")
 
 
+def _triangle_pairs_sorted(group_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group index pairs (i < j) of a SORTED group-id array —
+    fully vectorized (no Python loop per group): element at local position
+    t emits t pairs, one with each earlier element of its group."""
+    n = len(group_ids)
+    if n < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new_grp = np.ones(n, bool)
+    new_grp[1:] = group_ids[1:] != group_ids[:-1]
+    starts = np.where(new_grp, np.arange(n, dtype=np.int64), 0)
+    np.maximum.accumulate(starts, out=starts)  # start index of own group
+    pos = np.arange(n, dtype=np.int64) - starts
+    total = int(pos.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    j_idx = np.repeat(np.arange(n, dtype=np.int64), pos)
+    run_first = np.repeat(np.cumsum(pos) - pos, pos)
+    i_idx = np.arange(total, dtype=np.int64) - run_first + np.repeat(starts, pos)
+    return i_idx, j_idx
+
+
 def _pairs_within_groups(df: pl.DataFrame, group_col: str, id_col: str) -> np.ndarray:
     """(m, 2) row-index pairs (i, j), i<j by ``id_col`` order, within each
-    group of ``group_col``.  Vectorized triangle enumeration per group."""
+    group of ``group_col``."""
     df = df.with_row_index("_row")
-    out = []
-    for _, g in df.group_by(group_col):
-        n = g.height
-        if n < 2:
-            continue
-        rows = g.sort(id_col)["_row"].to_numpy()
-        iu, ju = np.triu_indices(n, k=1)
-        out.append(np.stack([rows[iu], rows[ju]], axis=1))
-    if not out:
-        return np.empty((0, 2), np.int64)
-    return np.concatenate(out).astype(np.int64)
+    s = df.sort([group_col, id_col])
+    gid = s[group_col].to_numpy()
+    rows = s["_row"].to_numpy().astype(np.int64)
+    # codes for arbitrary dtype group ids
+    if gid.dtype == object:
+        _, codes = np.unique(gid, return_inverse=True)
+    else:
+        codes = gid
+    ii, jj = _triangle_pairs_sorted(codes)
+    return np.stack([rows[ii], rows[jj]], axis=1) if len(ii) else np.empty((0, 2), np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -254,9 +274,15 @@ def minhash_lsh_dup_pairs(
         n, b = keys.shape
         n_sh = t["n_shingles"].to_numpy()
         nonempty = np.repeat(n_sh > 0, b)  # empty docs never block with anything
+        flat_keys = keys.reshape(-1)[nonempty]
+        band_idx = np.tile(np.arange(b, dtype=np.int8), n)[nonempty]
         return pa.table(
             {
-                "band_key": pa.array(keys.reshape(-1)[nonempty], pa.uint64()),
+                "band_key": pa.array(flat_keys, pa.uint64()),
+                "band_idx": pa.array(band_idx, pa.int8()),
+                "part": pa.array(
+                    (flat_keys % np.uint64(_NUM_PARTS)).astype(np.int32), pa.int32()
+                ),
                 "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), b)[nonempty], pa.int64()),
                 "minhash": pa.FixedSizeListArray.from_arrays(
                     pa.array(
@@ -270,59 +296,48 @@ def minhash_lsh_dup_pairs(
     banded = sigs.map_batches(_emit_bands, batch_format="pyarrow", zero_copy_batch=True)
 
     def _bucket_pairs(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t.select(["band_key", "doc_id"]))
-        pairs = _pairs_within_groups(df, "band_key", "doc_id")
-        if len(pairs) == 0:
-            return pa.table(
-                {
-                    "doc_id_a": pa.array([], pa.int64()),
-                    "doc_id_b": pa.array([], pa.int64()),
-                    "est_jaccard": pa.array([], pa.float64()),
-                }
-            )
+        """One hash-partition of band buckets: vectorized triangle
+        enumeration grouped by band_key; each pair kept only in its FIRST
+        colliding band (shuffle-free dedup across bands, same rule as the
+        flagship pair stage)."""
+        empty = pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) < 2:
+            return empty
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        ii, jj = _triangle_pairs_sorted(bk[order])
+        if len(ii) == 0:
+            return empty
+        ii, jj = order[ii], order[jj]
         sig = np.asarray(t["minhash"].combine_chunks().flatten()).reshape(
             len(t), minhash.num_perm
         )
-        est = (sig[pairs[:, 0]] == sig[pairs[:, 1]]).mean(axis=1)
-        ids = t["doc_id"].to_numpy()
-        ia, ib = ids[pairs[:, 0]], ids[pairs[:, 1]]
+        # first-colliding-band canonicality
+        all_keys = lsh_band_hashes(sig, blocking)
+        eq = all_keys[ii] == all_keys[jj]
+        first = eq.argmax(axis=1)  # a collision exists (this bucket)
+        keep = first == t["band_idx"].to_numpy(zero_copy_only=False)[ii].astype(np.int64)
+        est = (sig[ii] == sig[jj]).mean(axis=1)
+        ia, ib = ids[ii], ids[jj]
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        keep = (est >= tau) & (lo != hi)
+        keep &= (est >= tau) & (lo != hi)
+        o = np.lexsort((hi[keep], lo[keep]))
         return pa.table(
             {
-                "doc_id_a": pa.array(lo[keep], pa.int64()),
-                "doc_id_b": pa.array(hi[keep], pa.int64()),
-                "est_jaccard": pa.array(est[keep], pa.float64()),
+                "doc_id_a": pa.array(lo[keep][o], pa.int64()),
+                "doc_id_b": pa.array(hi[keep][o], pa.int64()),
+                "est_jaccard": pa.array(est[keep][o], pa.float64()),
             }
         )
 
-    pairs = banded.groupby("band_key").map_groups(_bucket_pairs, batch_format="pyarrow")
-
-    # dedup the same pair found in several bands: hash-partition on the pair
-    # key, first-wins within partition (D7)
-    def _pair_part(t: pa.Table) -> pa.Table:
-        from record_linkage_ldu_ray.functions.hashing import pair_hash
-
-        h = pair_hash(
-            t["doc_id_a"].cast(pa.string()), t["doc_id_b"].cast(pa.string())
-        )
-        return t.append_column(
-            "part", pa.array((h % np.uint64(_NUM_PARTS)).astype(np.int32), pa.int32())
-        )
-
-    def _dedup(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t.drop_columns(["part"]))
-        return (
-            df.unique(["doc_id_a", "doc_id_b"], keep="first", maintain_order=True)
-            .sort(["doc_id_a", "doc_id_b"])
-            .to_arrow()
-        )
-
-    return (
-        pairs.map_batches(_pair_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
-        .map_groups(_dedup, batch_format="pyarrow")
-    )
+    return banded.groupby("part").map_groups(_bucket_pairs, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -381,9 +396,14 @@ def simhash_dup_pairs(ds: "ray.data.Dataset", max_hamming: int = 3):
             bands[:, j] = ((sig >> np.uint64(16 * j)) & np.uint64(0xFFFF)) | (
                 np.uint64(j) << np.uint64(48)
             )
+        flat = bands.reshape(-1)
         return pa.table(
             {
-                "band_key": pa.array(bands.reshape(-1), pa.uint64()),
+                "band_key": pa.array(flat, pa.uint64()),
+                "band_idx": pa.array(np.tile(np.arange(4, dtype=np.int8), n), pa.int8()),
+                "part": pa.array(
+                    (flat % np.uint64(_NUM_PARTS)).astype(np.int32), pa.int32()
+                ),
                 "doc_id": pa.array(np.repeat(ids, 4), pa.int64()),
                 "simhash": pa.array(np.repeat(sig, 4), pa.uint64()),
             }
@@ -392,8 +412,9 @@ def simhash_dup_pairs(ds: "ray.data.Dataset", max_hamming: int = 3):
     banded = sigs.map_batches(_emit, batch_format="pyarrow", zero_copy_batch=True)
 
     def _verify(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t.select(["band_key", "doc_id"]))
-        pairs = _pairs_within_groups(df, "band_key", "doc_id")
+        """One hash-partition of 16-bit-band buckets: vectorized triangle
+        enumeration + exact popcount verify; each pair kept only in its
+        first matching band (shuffle-free cross-band dedup)."""
         empty = pa.table(
             {
                 "doc_id_a": pa.array([], pa.int64()),
@@ -401,37 +422,39 @@ def simhash_dup_pairs(ds: "ray.data.Dataset", max_hamming: int = 3):
                 "hamming": pa.array([], pa.int32()),
             }
         )
-        if len(pairs) == 0:
+        if len(t) < 2:
             return empty
-        sig = t["simhash"].to_numpy()
-        ids = t["doc_id"].to_numpy()
-        x = sig[pairs[:, 0]] ^ sig[pairs[:, 1]]
+        bk = t["band_key"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        sig = t["simhash"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bk))
+        ii, jj = _triangle_pairs_sorted(bk[order])
+        if len(ii) == 0:
+            return empty
+        ii, jj = order[ii], order[jj]
+        x = sig[ii] ^ sig[jj]
         ham = np.zeros(len(x), np.int32)
         for k in range(64):  # vectorized popcount
             ham += ((x >> np.uint64(k)) & np.uint64(1)).astype(np.int32)
-        ia, ib = ids[pairs[:, 0]], ids[pairs[:, 1]]
+        # first matching 16-bit band decides the canonical copy
+        first = np.full(len(x), 4, np.int64)
+        for j in range(3, -1, -1):
+            band_eq = ((x >> np.uint64(16 * j)) & np.uint64(0xFFFF)) == 0
+            first = np.where(band_eq, j, first)
+        keep = first == t["band_idx"].to_numpy(zero_copy_only=False)[ii].astype(np.int64)
+        ia, ib = ids[ii], ids[jj]
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-        keep = (ham <= max_hamming) & (lo != hi)
+        keep &= (ham <= max_hamming) & (lo != hi)
+        o = np.lexsort((hi[keep], lo[keep]))
         return pa.table(
             {
-                "doc_id_a": pa.array(lo[keep], pa.int64()),
-                "doc_id_b": pa.array(hi[keep], pa.int64()),
-                "hamming": pa.array(ham[keep], pa.int32()),
+                "doc_id_a": pa.array(lo[keep][o], pa.int64()),
+                "doc_id_b": pa.array(hi[keep][o], pa.int64()),
+                "hamming": pa.array(ham[keep][o], pa.int32()),
             }
         )
 
-    pairs = banded.groupby("band_key").map_groups(_verify, batch_format="pyarrow")
-
-    def _dedup(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t)
-        return (
-            df.unique(["doc_id_a", "doc_id_b"], keep="first", maintain_order=True)
-            .sort(["doc_id_a", "doc_id_b"])
-            .to_arrow()
-        )
-
-    # small result: single-partition dedup keeps it deterministic
-    return pairs.repartition(1).map_batches(_dedup, batch_format="pyarrow")
+    return banded.groupby("part").map_groups(_verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
