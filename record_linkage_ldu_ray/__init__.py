@@ -19,6 +19,13 @@ from record_linkage_ldu_ray.config import (
     RuleConfig,
     ScoringConfig,
 )
+from record_linkage_ldu_ray.runtime import configure_exchange
+
+# The engine's execution profile: hash-shuffle exchanges (see runtime.py).
+# Applied at import so every Dataset created by callers of this library —
+# including ones built before the first pipeline call — carries the right
+# shuffle strategy.  Does NOT touch ray.init (the driver owns the session).
+configure_exchange()
 
 __all__ = [
     "BlockingConfig",

@@ -80,8 +80,17 @@ class BlockingConfig:
     bands: int = 16
     rows_per_band: int = 4
     use_prefix_key: bool = True
+    # "prefix4": exact 4-char prefix of the alphabetically-first token
+    # (discriminative); "soundex": phonetic code (name-like data — beware:
+    # soundex drops digits, so synthetic tokens a000/a001 collapse)
+    prefix_key_kind: str = "prefix4"
     max_block_records: int = 256
     max_salt: int = 16  # upper bound on sub-block fan-out per hot key
+    # blocks larger than this are DROPPED, not salted: salting preserves
+    # every pair (load balance only) — a non-discriminative key (the
+    # reference's country="US") would still cost O(n²) pairs.  Recall for
+    # dropped blocks falls back to the LSH bands.  None disables.
+    drop_block_records: int | None = 4096
 
 
 @dataclass(frozen=True)
@@ -119,6 +128,11 @@ class ScoringConfig:
     # prefix (the normalized text is token-sorted so prefixes are stable).
     # 64 = the bit-parallel batch kernel's word width (functions/sim.py).
     jw_text_max_chars: int = 64
+    # MinHash-estimate floor below which no decision mask can fire (score
+    # bound < score_mid and jac bound < jac_text_mid): pairs under it skip
+    # the expensive kernels AND travel without their heavy feature payload
+    # (text/roles/token hashes nulled at pair enumeration).  0 disables.
+    est_floor: float = 0.15
     # timestamp-gap feature: ts_sim = exp(-|Δts_min| / tau)
     ts_tau_seconds: float = 7 * 24 * 3600.0
 

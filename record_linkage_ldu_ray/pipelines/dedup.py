@@ -70,6 +70,9 @@ def dedup_transcripts(
     ``transcripts``: parquet path or Dataset with the input_hint schema
     (conv_id, turn_idx, role, text, tool, ts).
     """
+    from record_linkage_ldu_ray.runtime import configure_exchange
+
+    configure_exchange()
     cfg = cfg or PipelineConfig()
     ch = cfg.config_hash()
     metrics: dict = {"config_hash": ch}
@@ -97,12 +100,13 @@ def dedup_transcripts(
         features = features.materialize()
 
     # S3 pass A is a driver-visible aggregate by design (hot keys are few)
-    hot = hot_key_table(features, cfg)
+    hot, dropped = hot_key_table(features, cfg)
     metrics["hot_blocks"] = {str(k): v for k, v in sorted(hot.items())}
+    metrics["dropped_blocks"] = {str(k): v for k, v in sorted(dropped.items())}
 
     pairs, man = _maybe_checkpoint(
         "pairs",
-        lambda: generate_pairs(emit_block_rows(features, cfg, hot), cfg),
+        lambda: generate_pairs(emit_block_rows(features, cfg, hot, dropped), cfg),
         workdir,
         ch,
         src + ["features"],

@@ -68,7 +68,9 @@ def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = 
         out = df.group_by(text_col).agg(pl.col(id_col).min()).sort(id_col)
         return out.select([id_col, text_col]).to_arrow()
 
-    return ds.groupby("part").map_groups(_dedup, batch_format="pyarrow")
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(ds, ["part"], _NUM_PARTS, _dedup)
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +177,12 @@ def jaccard_dup_pairs(
             }
         )
 
-    return ds.groupby(block_col).map_groups(_score, batch_format="pyarrow")
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    withpart = ds.map_batches(
+        _add_hash_part(block_col, 16), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partitioned_map(withpart, ["part"], 16, _score)
 
 
 # ---------------------------------------------------------------------------
@@ -337,7 +344,9 @@ def minhash_lsh_dup_pairs(
             }
         )
 
-    return banded.groupby("part").map_groups(_bucket_pairs, batch_format="pyarrow")
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(banded, ["part"], _NUM_PARTS, _bucket_pairs)
 
 
 # ---------------------------------------------------------------------------
@@ -454,7 +463,9 @@ def simhash_dup_pairs(ds: "ray.data.Dataset", max_hamming: int = 3):
             }
         )
 
-    return banded.groupby("part").map_groups(_verify, batch_format="pyarrow")
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(banded, ["part"], _NUM_PARTS, _verify)
 
 
 # ---------------------------------------------------------------------------
@@ -474,29 +485,56 @@ def embedding_dup_pairs(
     """
 
     def _score(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_numpy()
-        mat = np.asarray(t[vec_col].combine_chunks().values).reshape(len(t), -1).astype(
-            np.float64
-        )
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        unit = mat / norms[:, None]
-        cos = unit @ unit.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        c = cos[iu, ju]
-        keep = c >= tau
-        ia, ib = ids[iu[keep]], ids[ju[keep]]
-        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        """One hash-partition of blocks: per-block dense cosine (the block
+        is small by IVF construction), vectorized within-block pairs."""
+        ids_all = t[id_col].to_numpy()
+        vec = t[vec_col]
+        if isinstance(vec, pa.ChunkedArray):
+            vec = vec.combine_chunks()
+        mat_all = np.asarray(vec.values).reshape(len(t), -1).astype(np.float64)
+        labels = t[block_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_all, labels))
+        out_a, out_b, out_c = [], [], []
+        bounds = np.nonzero(
+            np.concatenate(([True], labels[order][1:] != labels[order][:-1], [True]))
+        )[0]
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            sel = order[s0:s1]
+            if len(sel) < 2:
+                continue
+            ids = ids_all[sel]
+            mat = mat_all[sel]
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            cos = unit @ unit.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            c = cos[iu, ju]
+            keep = c >= tau
+            ia, ib = ids[iu[keep]], ids[ju[keep]]
+            lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+            out_a.append(lo)
+            out_b.append(hi)
+            out_c.append(np.round(c[keep], 6))
+        if not out_a:
+            return pa.table(
+                {
+                    f"{id_col}_a": pa.array([], pa.int64()),
+                    f"{id_col}_b": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
         return pa.table(
             {
-                f"{id_col}_a": pa.array(lo, pa.int64()),
-                f"{id_col}_b": pa.array(hi, pa.int64()),
-                "cos_sim": pa.array(np.round(c[keep], 6), pa.float64()),
+                f"{id_col}_a": pa.array(np.concatenate(out_a), pa.int64()),
+                f"{id_col}_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(out_c), pa.float64()),
             }
         )
 
-    return (
-        ds.select_columns([id_col, block_col, vec_col])
-        .groupby(block_col)
-        .map_groups(_score, batch_format="pyarrow")
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    withpart = ds.select_columns([id_col, block_col, vec_col]).map_batches(
+        _add_hash_part(block_col, 16), batch_format="pyarrow", zero_copy_batch=True
     )
+    return partitioned_map(withpart, ["part"], 16, _score)

@@ -211,10 +211,13 @@ def user_event_features(sf_dir: str, num_parts: int = 32):
             .to_arrow()
         )
 
-    return (
-        ds.map_batches(_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("part")
-        .map_groups(_agg, batch_format="pyarrow")
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(
+        ds.map_batches(_part, batch_format="pyarrow", zero_copy_batch=True),
+        ["part"],
+        num_parts,
+        _agg,
     )
 
 

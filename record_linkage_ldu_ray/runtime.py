@@ -1,0 +1,79 @@
+"""Execution-profile knobs for the engine's Ray Data pipelines.
+
+The engine's wide steps are hash-partitioned groupbys whose UDFs run once
+per partition (the ``part`` key is computed inside ``map_batches`` as a pure
+function of the data).  Ray Data's default SORT_SHUFFLE strategy
+range-partitions by sampled key quantiles, which collapses small key spaces
+into very few output blocks — serializing every stage downstream of a
+groupby.  HASH_SHUFFLE with an explicit ``num_partitions`` keeps the block
+fan-out equal to the partition count, so actor pools and per-partition
+tasks actually parallelize; it is also the strategy that scales to
+multi-node clusters (no global sample/sort barrier).
+
+``configure_exchange()`` is idempotent and called at pipeline-build time by
+every pipeline entry point.  It intentionally does NOT touch ray.init (the
+driver owns the session).
+"""
+
+from __future__ import annotations
+
+
+def configure_exchange() -> None:
+    """Switch the current DataContext to hash-shuffle exchanges.
+
+    The per-partition CPU overrides keep the shuffle aggregator actors from
+    reserving whole cores: with the default reservation, partitions ≫ CPUs
+    (a 4-CPU CI session running 64-partition stages) deadlocks — map tasks
+    and aggregators starve each other.  Aggregators are memcpy-bound, so a
+    tiny reservation oversubscribes safely.
+    """
+    import ray.data
+    from ray.data.context import ShuffleStrategy
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+    # fewer, fatter aggregators: each handles several partitions — far
+    # cheaper to start than one actor per partition (process spawn is the
+    # dominant first-shuffle cost on a fresh cluster)
+    ctx.max_hash_shuffle_aggregators = 16
+
+
+def effective_partitions(requested: int) -> int:
+    """Clamp a configured partition count to ~2 tasks per available CPU.
+
+    Config values size the EXCHANGE for the design scale; on a small
+    cluster (or a 4-CPU test session) running 64 partition-tasks of a tiny
+    stage costs more in scheduling than it buys in parallelism.  On a big
+    cluster the clamp is a no-op.
+    """
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    except Exception:
+        cpus = 4
+    return max(2, min(requested, cpus * 2))
+
+
+def partitioned_map(ds, key_cols: list[str], num_partitions: int, fn, **map_kwargs):
+    """Hash-partition ``ds`` by ``key_cols`` into ``num_partitions`` blocks
+    and apply ``fn`` to each WHOLE partition (one Arrow table per call).
+
+    This is the engine's partition-level compute primitive: ``fn`` must
+    group internally (a partition holds every row of each key it owns, but
+    may own many keys).  Used instead of ``groupby().map_groups`` because
+    (a) the sort step is unnecessary — UDFs group vectorized in-memory, and
+    (b) Ray 2.49's sorted hash repartition breaks on the schema-less empty
+    blocks that empty partitions emit (keys-based sort of an empty block).
+    """
+    configure_exchange()
+    num_partitions = effective_partitions(num_partitions)
+    return ds.repartition(num_partitions, keys=key_cols, sort=False).map_batches(
+        fn,
+        batch_size=None,  # the whole partition-block per call
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        **map_kwargs,
+    )

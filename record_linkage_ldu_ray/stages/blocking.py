@@ -66,7 +66,10 @@ def _record_keys(
             [x if x is not None else "" for x in batch["first_token"].to_pylist()],
             dtype=object,
         )
-        codes = soundex_array(first)
+        if cfg.blocking.prefix_key_kind == "soundex":
+            codes = soundex_array(first)
+        else:  # "prefix4": exact 4-char prefix (digit-preserving)
+            codes = np.array([s[:4] for s in first], dtype=object)
         pk = splitmix64(fnv1a_hash_strings(pa.array(codes.astype(str))) ^ _PREFIX_TAG)
         has_tok = np.array([bool(c) for c in codes])
         keys.append(pk[has_tok])
@@ -89,9 +92,14 @@ def _emit_key_counts(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
     return pa.table({"block_key": pa.array(uniq, pa.int64()), "n": pa.array(cnt, pa.int64())})
 
 
-def hot_key_table(features_ds, cfg: PipelineConfig) -> dict[int, int]:
-    """Driver-side dict {hot block_key: salt_count}; small by construction
-    (only keys over max_block_records)."""
+def hot_key_table(
+    features_ds, cfg: PipelineConfig
+) -> tuple[dict[int, int], dict[int, int]]:
+    """Driver-side ``(hot, dropped)``: ``hot`` maps block_key → salt count
+    (keys over max_block_records, salted to bound block size); ``dropped``
+    maps block_key → record count for keys over ``drop_block_records`` —
+    non-discriminative blocks whose O(n²) pair cost salting cannot fix
+    (recall falls back to the LSH bands).  Both small by construction."""
     import pyarrow.compute as pc
 
     counts = features_ds.map_batches(
@@ -99,21 +107,37 @@ def hot_key_table(features_ds, cfg: PipelineConfig) -> dict[int, int]:
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_kwargs={"cfg": cfg},
-    ).groupby("block_key").sum("n")
+    ).groupby("block_key", num_partitions=16).sum("n")
     cap = cfg.blocking.max_block_records
-    hot = counts.map_batches(
+    hot_ds = counts.map_batches(
         lambda t: t.filter(pc.greater(t["sum(n)"], cap)), batch_format="pyarrow"
     )
-    out = {}
-    for row in hot.take_all():  # tiny: only keys above the cap survive
+    drop_cap = cfg.blocking.drop_block_records
+    hot, dropped = {}, {}
+    for row in hot_ds.take_all():  # tiny: only keys above the cap survive
         n = int(row["sum(n)"])
-        out[int(row["block_key"])] = int(min(cfg.blocking.max_salt, -(-n // cap)))
-    return out
+        k = int(row["block_key"])
+        if drop_cap is not None and n > drop_cap:
+            dropped[k] = n
+        else:
+            hot[k] = int(min(cfg.blocking.max_salt, -(-n // cap)))
+    return hot, dropped
 
 
-def _emit_block_rows(batch: pa.Table, cfg: PipelineConfig, hot: dict[int, int]) -> pa.Table:
-    """Pass B: replicate each record to all its (salted) block keys."""
+def _emit_block_rows(
+    batch: pa.Table,
+    cfg: PipelineConfig,
+    hot: dict[int, int],
+    dropped: dict[int, int] | None = None,
+) -> pa.Table:
+    """Pass B: replicate each record to all its (salted) block keys;
+    oversized non-discriminative keys in ``dropped`` emit nothing."""
     flat_keys, rows, srcs = _record_keys(batch, cfg)
+
+    if dropped:
+        drop_keys = np.fromiter(dropped.keys(), dtype=np.int64, count=len(dropped))
+        keep = ~np.isin(flat_keys, drop_keys)
+        flat_keys, rows, srcs = flat_keys[keep], rows[keep], srcs[keep]
 
     if hot:
         conv_h = fnv1a_hash_strings(batch["conv_id"])
@@ -162,10 +186,15 @@ def _emit_block_rows(batch: pa.Table, cfg: PipelineConfig, hot: dict[int, int]) 
     return taken.append_column("salt_diag", pa.array(diag, pa.bool_()))
 
 
-def emit_block_rows(features_ds, cfg: PipelineConfig, hot: dict[int, int]):
+def emit_block_rows(
+    features_ds,
+    cfg: PipelineConfig,
+    hot: dict[int, int],
+    dropped: dict[int, int] | None = None,
+):
     return features_ds.map_batches(
         _emit_block_rows,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs={"cfg": cfg, "hot": hot},
+        fn_kwargs={"cfg": cfg, "hot": hot, "dropped": dropped},
     )

@@ -34,6 +34,7 @@ import pyarrow as pa
 
 from record_linkage_ldu_ray.config import PipelineConfig
 from record_linkage_ldu_ray.functions.hashing import fnv1a_hash_strings, pair_hash
+from record_linkage_ldu_ray.runtime import partitioned_map
 
 
 def _add_upart(batch: pa.Table, num_parts: int) -> pa.Table:
@@ -139,7 +140,7 @@ def connected_components(edges_ds, all_ids_ds, cfg: PipelineConfig):
             batch_format="pyarrow",
             fn_kwargs={"num_parts": num_parts},
         )
-        edges = sym.groupby("upart").map_groups(_contract, batch_format="pyarrow").materialize()
+        edges = partitioned_map(sym, ["upart"], num_parts, _contract).materialize()
         cur = _edge_checksum(edges)
         if cur == prev:
             break
@@ -169,5 +170,5 @@ def connected_components(edges_ds, all_ids_ds, cfg: PipelineConfig):
         )
         return lab.to_arrow()
 
-    clusters = union.groupby("upart").map_groups(_label, batch_format="pyarrow")
+    clusters = partitioned_map(union, ["upart"], cfg.pair_partitions, _label)
     return clusters, rounds

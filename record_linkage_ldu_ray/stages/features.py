@@ -130,4 +130,6 @@ def extract_features(ds, cfg: PipelineConfig):
     def _extract(tbl: pa.Table) -> pa.Table:
         return extractor(tbl)
 
-    return ds.groupby("part").map_groups(_extract, batch_format="pyarrow")
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(ds, ["part"], cfg.feature_partitions, _extract)

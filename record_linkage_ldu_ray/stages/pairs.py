@@ -34,16 +34,13 @@ from record_linkage_ldu_ray.config import PipelineConfig
 from record_linkage_ldu_ray.functions.minhash import EMPTY_SENTINEL, lsh_band_hashes
 
 # feature columns carried into pair rows (per side); ts_max / minhash are
-# intentionally absent — the scorer uses ts_min and the precomputed estimate
-_SIDE_COLS = [
-    "conv_id",
-    "n_turns",
-    "text_prefix",
-    "role_seq",
-    "tool_seq",
-    "ts_min",
-    "tok_hashes",
-]
+# intentionally absent — the scorer uses ts_min and the precomputed estimate.
+# The heavy columns are NULLED for pairs under the est floor (the scorer
+# never reads them there — no decision mask can fire), so a huge block of
+# dissimilar records ships ~60 B/pair instead of kilobytes.
+_CHEAP_COLS = ["conv_id", "n_turns", "ts_min"]
+_HEAVY_COLS = ["text_prefix", "role_seq", "tool_seq", "tok_hashes"]
+_SIDE_COLS = _CHEAP_COLS + _HEAVY_COLS
 
 PAIR_COLUMNS = [f"{c}_a" for c in _SIDE_COLS] + [f"{c}_b" for c in _SIDE_COLS] + [
     "minhash_est"
@@ -115,17 +112,30 @@ def _enumerate_part(tbl: pa.Table, cfg: PipelineConfig) -> pa.Table:
     est = (sa == sb).mean(axis=1).astype(np.float32)
     est[(sa[:, 0] == EMPTY_SENTINEL) | (sb[:, 0] == EMPTY_SENTINEL)] = 0.0
 
-    side = tbl.select(_SIDE_COLS)
-    ta = side.take(pa.array(ia, pa.int64())).rename_columns([f"{c}_a" for c in _SIDE_COLS])
-    tb = side.take(pa.array(ib, pa.int64())).rename_columns([f"{c}_b" for c in _SIDE_COLS])
-    out = pa.table(
-        {
-            **{c: ta[c] for c in ta.column_names},
-            **{c: tb[c] for c in tb.column_names},
-            "minhash_est": pa.array(est),
-        }
-    )
-    return out
+    # heavy payload only for pairs the scorer will actually read
+    # (est ≥ floor); null indices make Table.take emit null rows
+    inactive = est < np.float32(cfg.scoring.est_floor)
+    cheap = tbl.select(_CHEAP_COLS)
+    heavy = tbl.select(_HEAVY_COLS)
+    idx_a = pa.array(ia, pa.int64())
+    idx_b = pa.array(ib, pa.int64())
+    idx_a_h = pa.array(ia, pa.int64(), mask=inactive)
+    idx_b_h = pa.array(ib, pa.int64(), mask=inactive)
+    cols = {}
+    ca = cheap.take(idx_a)
+    cb = cheap.take(idx_b)
+    ha = heavy.take(idx_a_h)
+    hb = heavy.take(idx_b_h)
+    for c in _CHEAP_COLS:
+        cols[f"{c}_a"] = ca[c]
+    for c in _HEAVY_COLS:
+        cols[f"{c}_a"] = ha[c]
+    for c in _CHEAP_COLS:
+        cols[f"{c}_b"] = cb[c]
+    for c in _HEAVY_COLS:
+        cols[f"{c}_b"] = hb[c]
+    cols["minhash_est"] = pa.array(est)
+    return pa.table(cols).select([f"{c}_a" for c in _SIDE_COLS] + [f"{c}_b" for c in _SIDE_COLS] + ["minhash_est"])
 
 
 def generate_pairs(block_rows_ds, cfg: PipelineConfig):
@@ -142,4 +152,6 @@ def generate_pairs(block_rows_ds, cfg: PipelineConfig):
     def _enum(tbl: pa.Table) -> pa.Table:
         return _enumerate_part(tbl.drop_columns(["bpart"]), cfg)
 
-    return ds.groupby("bpart").map_groups(_enum, batch_format="pyarrow")
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(ds, ["bpart"], cfg.pair_partitions, _enum)

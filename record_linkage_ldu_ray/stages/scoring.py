@@ -61,8 +61,9 @@ class PairScorer:
         self.jw_max = cfg.scoring.jw_text_max_chars
         self.tau = cfg.scoring.ts_tau_seconds
         # MinHash-estimate floor below which no mask can fire (see module
-        # docstring); 0 disables the shortcut.
-        self.est_floor = 0.15
+        # docstring); shared with pair enumeration, which nulls the heavy
+        # feature payload of gated-out pairs.
+        self.est_floor = cfg.scoring.est_floor
 
     @staticmethod
     def _jw_gated(a: list, b: list, active: np.ndarray, max_len: int) -> np.ndarray:

@@ -30,7 +30,7 @@ def xs_fixture_dir(tmp_path_factory):
     """Deterministic xs-scale transcript fixture (FIXTURES.md scale 'xs')."""
     from record_linkage_ldu_ray.fixtures import FixtureSpec, cached_fixture
 
-    return cached_fixture(FixtureSpec(n_families=120, hot_block=40))
+    return cached_fixture(FixtureSpec(n_families=120, hot_block=300))
 
 
 @pytest.fixture(scope="session")

@@ -41,7 +41,8 @@ class TestEndToEnd:
 
     def test_hot_block_salted(self, dedup_run):
         res, _, _ = dedup_run
-        # the fixture plants a 40-conv hot anchor; pass A must detect it
+        # the fixture plants a 300-conv hot anchor block (> max_block_records,
+        # < drop_block_records); pass A must detect and salt it
         assert len(res.metrics["hot_blocks"]) >= 1
         assert all(v >= 1 for v in res.metrics["hot_blocks"].values())
 
@@ -125,3 +126,23 @@ class TestPairUniqueness:
         df = res.scores.to_pandas()[["conv_id_a", "conv_id_b"]]
         assert not df.duplicated().any()
         assert (df["conv_id_a"] < df["conv_id_b"]).all()
+
+
+class TestOversizedBlockDrop:
+    def test_non_discriminative_block_dropped(self, ray_session, xs_fixture_dir, tmp_path):
+        """A block over drop_block_records is dropped entirely (salting
+        cannot fix O(n²) pair cost of a non-discriminative key); recall
+        falls back to the LSH bands, so true duplicates still cluster."""
+        import dataclasses
+
+        from record_linkage_ldu_ray.config import BlockingConfig, PipelineConfig
+        from record_linkage_ldu_ray.pipelines.evaluate import pairwise_metrics
+
+        cfg = PipelineConfig(blocking=BlockingConfig(drop_block_records=290))
+        res = dedup_transcripts(f"{xs_fixture_dir}/transcripts.parquet", cfg)
+        res.clusters.count()  # execute
+        assert len(res.metrics["dropped_blocks"]) >= 1
+        # the hot anchor block (300+ records) was dropped, but LSH-band
+        # recall keeps the labeled-pair F1 at the gate
+        m = pairwise_metrics(res.matches, f"{xs_fixture_dir}/labeled_pairs.parquet")
+        assert m["f1"] >= 0.99, m
