@@ -31,6 +31,23 @@ def _sql_list(words) -> str:
 _STOP_SQL = _sql_list(ENGLISH_STOPWORDS)
 _WS_WORDS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+# SQL replica of pipelines.relational.transcripts_from_documents (the
+# deterministic documents → transcripts explode: 8-token turns, role by
+# parity with every 5th turn a tool turn) — shared by transcript-shaped
+# oracles.
+_TSYN_SQL = """
+    SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS conv_id,
+           CAST((g // 8) AS INTEGER) AS turn_idx,
+           array_to_string(words[g + 1 : g + 8], ' ') AS text,
+           CASE WHEN (g // 8) % 5 = 4 THEN 'tool'
+                WHEN (g // 8) % 2 = 0 THEN 'user'
+                ELSE 'assistant' END AS role,
+           CASE WHEN (g // 8) % 5 = 4 THEN 'search' END AS tool
+    FROM (SELECT doc_id, words, unnest(range(0, len(words), 8)) AS g
+          FROM (SELECT doc_id, string_split(text, ' ') AS words
+                FROM documents))
+"""
+
 
 def entry() -> Any:
     """Flagship: documents → synthetic transcripts → full dedup DAG
@@ -222,6 +239,57 @@ def _q_user_event_features(sf_dir: str):
     return user_event_features(sf_dir)
 
 
+def _q_dedup_turns(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
+    from record_linkage_ldu_ray.stages.turndedup import dedup_turns
+
+    return dedup_turns(transcripts_from_documents(sf_dir)).select_columns(
+        ["conv_id", "turn_idx", "text"]
+    )
+
+
+def _q_merge_role_tool(sf_dir: str):
+    import pyarrow as pa
+
+    from record_linkage_ldu_ray.functions.text import merge_columns
+    from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
+
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "actor": merge_columns(t["role"], t["tool"]),
+            }
+        )
+
+    return transcripts_from_documents(sf_dir).map_batches(
+        _f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_canonicalize_event_types(sf_dir: str):
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_linkage_ldu_ray.functions.text import canonicalize_lookup
+
+    mapping = {"view": "impression", "error": "fault"}
+
+    def _f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type_canon": canonicalize_lookup(t["event_type"], mapping),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type"]
+    ).map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_transcript_dedup(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.dedup import dedup_transcripts
     from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
@@ -253,6 +321,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        # per-record kernels (M18 merge, M7/M8 canonicalize, M19 turn dedup)
+        "dedup_turns": _q_dedup_turns,
+        "merge_role_tool": _q_merge_role_tool,
+        "canonicalize_event_types": _q_canonicalize_event_types,
         # multimodal plumbing
         "payload_metadata": _q_payload_metadata,
         "image_features_stub": _q_image_features_stub,
@@ -395,6 +467,30 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256,
                    'unknown' AS kind
             FROM documents
+        """,
+        "dedup_turns": f"""
+            WITH tsyn AS ({_TSYN_SQL})
+            SELECT conv_id, turn_idx, text FROM (
+              SELECT conv_id, turn_idx, text,
+                     row_number() OVER (PARTITION BY conv_id, text
+                                        ORDER BY turn_idx) AS rn
+              FROM tsyn)
+            WHERE rn = 1
+        """,
+        "merge_role_tool": f"""
+            WITH tsyn AS ({_TSYN_SQL})
+            SELECT conv_id, turn_idx,
+                   CASE WHEN role IS NOT NULL AND tool IS NOT NULL
+                        THEN role || ' ' || tool
+                        ELSE coalesce(role, tool) END AS actor
+            FROM tsyn
+        """,
+        "canonicalize_event_types": """
+            SELECT event_id,
+                   CASE event_type WHEN 'view' THEN 'impression'
+                                   WHEN 'error' THEN 'fault'
+                                   ELSE event_type END AS event_type_canon
+            FROM events
         """,
         # minhash_lsh_dup_pairs, simhash_dup_pairs, winnowing_fingerprints,
         # lsh_ann_topk, image_features_stub, transcript_dedup: sketch-based /

@@ -116,3 +116,32 @@ def soundex_array(tokens: np.ndarray | list[str]) -> np.ndarray:
     uniq, inv = np.unique(arr.astype(str), return_inverse=True)
     codes = np.array([soundex(u) for u in uniq], dtype=object)
     return codes[inv]
+
+
+def merge_columns(a, b, sep: str = " ") -> pa.Array:
+    """M18 ``merge_columns`` (pre_processing.py:88-111): fuse two string
+    columns into one — both present → concat with ``sep``; one missing →
+    the other; both missing → null.  Vectorized Arrow kernel."""
+    import pyarrow.compute as pc
+
+    if isinstance(a, pa.ChunkedArray):
+        a = a.combine_chunks()
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    a = a.cast(pa.string())
+    b = b.cast(pa.string())
+    both = pc.and_(a.is_valid(), b.is_valid())
+    joined = pc.binary_join_element_wise(a, b, sep)
+    either = pc.coalesce(a, b)
+    return pc.if_else(both, joined, either)
+
+
+def canonicalize_lookup(arr, mapping: dict[str, str]) -> pa.Array:
+    """M7/M8 ``fix_state``/``fix_country`` analog (pre_processing.py:32-45):
+    map values through a canonicalization table, PASS-THROUGH on miss,
+    nulls stay null.  The lookup is a small dict built once per worker —
+    never a shuffle join."""
+    s = _to_polars(arr).cast(pl.Utf8)
+    out = s.replace(mapping)  # pass-through for keys not in the mapping
+    res = out.to_arrow()
+    return res.cast(pa.string()) if not pa.types.is_string(res.type) else res

@@ -69,6 +69,15 @@ def partitioned_map(ds, key_cols: list[str], num_partitions: int, fn, **map_kwar
     blocks that empty partitions emit (keys-based sort of an empty block).
     """
     configure_exchange()
+    # a Dataset captures its DataContext at creation — callers may have
+    # built ``ds`` before this library was imported, so fix the captured
+    # context too (same knobs as configure_exchange)
+    from ray.data.context import ShuffleStrategy
+
+    ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
+    ds.context.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
+    ds.context.max_hash_shuffle_aggregators = 16
     num_partitions = effective_partitions(num_partitions)
     return ds.repartition(num_partitions, keys=key_cols, sort=False).map_batches(
         fn,

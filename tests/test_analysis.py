@@ -1,0 +1,137 @@
+"""Tests for sources, turn-dedup (M19), and the analysis operators
+(A4 cluster stats, D5 classify, D6 run diff, S5 histograms)."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_clusters(ray_session):
+    import ray.data
+
+    t = pa.table(
+        {
+            "conv_id": [f"c{i}" for i in range(10)],
+            "cluster_id": ["c0", "c0", "c0", "c3", "c3", "c5", "c6", "c7", "c8", "c9"],
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+class TestClusterStats:
+    def test_sizes_and_stats(self, tiny_clusters):
+        from record_linkage_ldu_ray.pipelines.analysis import (
+            cluster_size_stats,
+            cluster_sizes,
+        )
+
+        sizes = cluster_sizes(tiny_clusters).to_pandas()
+        assert dict(zip(sizes["cluster_id"], sizes["size"]))["c0"] == 3
+        st = cluster_size_stats(tiny_clusters)
+        assert st["n_clusters"] == 7
+        assert st["n_records"] == 10
+        assert st["max"] == 3
+        assert st["n_singletons"] == 5
+
+
+class TestClassifyClusters:
+    def test_verified_contradicted_unverified(self, tiny_clusters, tmp_path):
+        from record_linkage_ldu_ray.pipelines.analysis import classify_clusters
+
+        labels = pa.table(
+            {
+                "conv_id_a": ["c0", "c3", "c5"],
+                "conv_id_b": ["c1", "c4", "c6"],
+                "is_match": [True, False, True],
+            }
+        )
+        p = str(tmp_path / "labels.parquet")
+        pq.write_table(labels, p)
+        res = classify_clusters(tiny_clusters, p)
+        # c0∪c1 same cluster + positive -> verified; c3∪c4 same cluster +
+        # negative -> contradicted; c5,c6 different clusters -> no verdict
+        assert res["verified"] == 1
+        assert res["contradicted"] == 1
+        assert res["unverified"] == res["n_clusters"] - 2
+
+
+class TestDiffRuns:
+    def test_identical_and_changed(self, tiny_clusters, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.analysis import diff_cluster_runs
+
+        d = diff_cluster_runs(tiny_clusters, tiny_clusters)
+        assert d["n_common"] == d["n_clusters_a"] == d["n_clusters_b"] == 7
+        t2 = pa.table(
+            {
+                "conv_id": [f"c{i}" for i in range(10)],
+                # c5 joins the c0 component
+                "cluster_id": ["c0", "c0", "c0", "c3", "c3", "c0", "c6", "c7", "c8", "c9"],
+            }
+        )
+        d2 = diff_cluster_runs(tiny_clusters, ray.data.from_arrow(t2))
+        assert d2["n_only_a"] == 2  # {c0,c1,c2} and {c5} replaced
+        assert d2["n_only_b"] == 1  # {c0,c1,c2,c5}
+        assert d2["n_common"] == 5
+
+
+class TestScoreHistograms:
+    def test_counts_sum_to_rows(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(3)
+        n = 1000
+        t = pa.table(
+            {
+                "jac_text": rng.random(n),
+                "jw_text": rng.random(n),
+            }
+        )
+        from record_linkage_ldu_ray.pipelines.analysis import score_histograms
+
+        h = score_histograms(ray.data.from_arrow(t), columns=["jac_text", "jw_text"], bins=10)
+        assert h.groupby("column")["count"].sum().tolist() == [n, n]
+
+
+class TestTurnDedup:
+    def test_first_occurrence_kept(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.stages.turndedup import dedup_turns
+
+        t = pa.table(
+            {
+                "conv_id": ["a", "a", "a", "a", "b", "b"],
+                "turn_idx": pa.array([0, 1, 2, 3, 0, 1], pa.int32()),
+                "text": ["hi", "yo", "hi", "new", "hi", "hi"],
+            }
+        )
+        out = dedup_turns(ray.data.from_arrow(t), num_partitions=4).to_pandas()
+        out = out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        # 'hi'@a2 dropped (dup of a0); 'hi'@b1 dropped (dup of b0)
+        assert list(zip(out["conv_id"], out["turn_idx"])) == [
+            ("a", 0), ("a", 1), ("a", 3), ("b", 0),
+        ]
+
+
+class TestSources:
+    def test_csv_roundtrip(self, ray_session, tmp_path, xs_fixture_dir):
+        import pandas as pd
+
+        from record_linkage_ldu_ray.sources import read_table, read_transcripts_csv
+
+        df = pq.read_table(f"{xs_fixture_dir}/transcripts.parquet").to_pandas().head(200)
+        p = str(tmp_path / "transcripts.csv")
+        df.to_csv(p, sep=";", index=False)
+        ds = read_transcripts_csv(p)
+        got = ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        want = df.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert got["turn_idx"].dtype == np.int32
+        assert list(got["conv_id"]) == list(want["conv_id"])
+        assert list(got["text"].fillna("")) == list(want["text"].fillna(""))
+        # parquet dispatch path
+        assert read_table(f"{xs_fixture_dir}/transcripts.parquet").count() > 0
