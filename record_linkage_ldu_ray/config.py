@@ -169,17 +169,28 @@ class PipelineConfig:
     scoring: ScoringConfig = field(default_factory=ScoringConfig)
     rules: RuleConfig = field(default_factory=RuleConfig)
 
-    # physical execution knobs
+    # physical execution knobs (NOT part of the config hash: results are
+    # identical at any parallelism, so checkpoints must survive cluster-
+    # size changes — the N-node run resumes on the 4N-node cluster)
     feature_partitions: int = 64  # hash partitions for per-conv aggregation
     pair_partitions: int = 64  # hash partitions for pair dedup
-    scorer_concurrency: tuple[int, int] = (2, 8)  # actor pool (min, max)
+    # actor pool (min, max); None → auto-size max to the cluster CPU count
+    scorer_concurrency: tuple[int, int] | None = None
     scorer_batch_size: int = 4096
     normalize_batch_size: int = 65536
     max_unionfind_rounds: int = 12
 
+    _SEMANTIC_FIELDS = ("normalizer", "minhash", "blocking", "scoring", "rules")
+
     def config_hash(self) -> str:
-        """Stable hash of the full config, recorded in stage manifests."""
-        blob = json.dumps(_to_jsonable(asdict(self)), sort_keys=True)
+        """Stable hash of the SEMANTIC config (normalizer/minhash/blocking/
+        scoring/rules), recorded in stage manifests.  Physical knobs
+        (partition counts, concurrency, batch sizes) don't change results
+        and are excluded — resume stays valid across cluster sizes."""
+        d = asdict(self)
+        blob = json.dumps(
+            _to_jsonable({k: d[k] for k in self._SEMANTIC_FIELDS}), sort_keys=True
+        )
         return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 

@@ -41,6 +41,11 @@ class FixtureSpec:
     max_turns: int = 24
     fam_vocab_size: int = 30
     hot_block: int = 0  # extra singleton convs sharing anchor "a000"
+    # hot-block convs are perturbed near-duplicates of ONE base conversation
+    # (instead of unrelated singletons): every hot pair then clears the
+    # MinHash-estimate gate, making the hot block a SCORING-dominated load —
+    # the corpus used to measure candidate-pair scoring throughput
+    hot_dup: bool = False
 
     @property
     def n_anchors(self) -> int:
@@ -209,11 +214,20 @@ def generate(spec: FixtureSpec) -> dict[str, pa.Table]:
                 convs.append(hn)
                 neg_by_anchor.setdefault(anchor, []).append((hn.conv_id, fam))
 
-    # hot block: many singleton convs sharing anchor "a000"
-    for h in range(spec.hot_block):
+    # hot block: many convs sharing anchor "a000" — unrelated singletons by
+    # default, or (hot_dup) near-duplicates of one base conversation
+    if spec.hot_block and spec.hot_dup:
         fam_vocab = rng.choice(vocab, spec.fam_vocab_size, replace=False)
-        convs.append(_base_conv(10_000_000 + h, f"conv-hot-{h:06d}", "a000",
-                                fam_vocab, rng, spec))
+        hot_base = _base_conv(10_000_000, "conv-hot-000000", "a000",
+                              fam_vocab, rng, spec)
+        convs.append(hot_base)
+        for h in range(1, spec.hot_block):
+            convs.append(_perturb(hot_base, f"conv-hot-{h:06d}", rng))
+    else:
+        for h in range(spec.hot_block):
+            fam_vocab = rng.choice(vocab, spec.fam_vocab_size, replace=False)
+            convs.append(_base_conv(10_000_000 + h, f"conv-hot-{h:06d}", "a000",
+                                    fam_vocab, rng, spec))
 
     # ---- transcripts table
     conv_ids, turn_idxs, roles, texts, tools, tss = [], [], [], [], [], []
@@ -311,7 +325,10 @@ def write_fixture(spec: FixtureSpec, out_dir: str) -> dict[str, str]:
 
 def cached_fixture(spec: FixtureSpec, cache_root: str = "/tmp/rl_fixtures") -> str:
     """Generate-once cache keyed by the spec (used by bench + tests)."""
-    key = f"fam{spec.n_families}_seed{spec.seed}_hot{spec.hot_block}_t{spec.min_turns}-{spec.max_turns}"
+    key = (
+        f"fam{spec.n_families}_seed{spec.seed}_hot{spec.hot_block}"
+        f"{'d' if spec.hot_dup else ''}_t{spec.min_turns}-{spec.max_turns}"
+    )
     d = os.path.join(cache_root, key)
     marker = os.path.join(d, "_COMPLETE")
     if not os.path.exists(marker):

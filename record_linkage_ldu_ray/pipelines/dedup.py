@@ -3,8 +3,9 @@
     S1 normalize      map_batches (stateless, zero-copy Arrow)
     S2 features       hash-part groupby(conv_id-part) → vectorized agg   [shuffle 1]
     S3 blocking       two-pass key emission, LSH bands + prefix, salting
-    S4 pairs          groupby(block-part) self-join; pair-hash dedup     [shuffles 2,3]
-    S5 scoring        map_batches(PairScorer actor pool)
+    S4+S5 pairs+score one exchange: block-part self-join, lowest-band
+                      pair dedup, scoring fused in a stateful actor pool
+                      (wide pair rows never leave the task)   [shuffle 2]
     S6 decide         weighted-threshold rule + 4 masks → edges
     S7 cluster        union-find star-contraction rounds                 [shuffle 4×log]
     S8 emit           (conv_id, cluster_id), sorted
@@ -30,8 +31,7 @@ from record_linkage_ldu_ray.stages.cluster import connected_components
 from record_linkage_ldu_ray.stages.decide import decide_matches, mask_counters
 from record_linkage_ldu_ray.stages.features import extract_features
 from record_linkage_ldu_ray.stages.normalize import normalize_transcripts
-from record_linkage_ldu_ray.stages.pairs import generate_pairs
-from record_linkage_ldu_ray.stages.scoring import score_pairs
+from record_linkage_ldu_ray.stages.pairs import enumerate_and_score
 
 
 @dataclass
@@ -104,22 +104,15 @@ def dedup_transcripts(
     metrics["hot_blocks"] = {str(k): v for k, v in sorted(hot.items())}
     metrics["dropped_blocks"] = {str(k): v for k, v in sorted(dropped.items())}
 
-    pairs, man = _maybe_checkpoint(
-        "pairs",
-        lambda: generate_pairs(emit_block_rows(features, cfg, hot, dropped), cfg),
+    # S4+S5 fused: pair enumeration + scoring in ONE exchange (stateful
+    # actor pool; wide pair rows never leave the task — see
+    # stages/pairs.py EnumerateScorer)
+    scores, man = _maybe_checkpoint(
+        "scores",
+        lambda: enumerate_and_score(emit_block_rows(features, cfg, hot, dropped), cfg),
         workdir,
         ch,
         src + ["features"],
-    )
-    if man:
-        metrics["pairs"] = man["counters"]
-
-    scores, man = _maybe_checkpoint(
-        "scores",
-        lambda: score_pairs(pairs, cfg),
-        workdir,
-        ch,
-        src + ["pairs"],
     )
     if man:
         metrics["scores"] = man["counters"]

@@ -155,3 +155,73 @@ def generate_pairs(block_rows_ds, cfg: PipelineConfig):
     from record_linkage_ldu_ray.runtime import partitioned_map
 
     return partitioned_map(ds, ["bpart"], cfg.pair_partitions, _enum)
+
+
+class EnumerateScorer:
+    """Fused S4+S5: within one block-partition, enumerate canonical pairs
+    (lowest-colliding-band + salt-diagonal dedup) and score them — a
+    STATEFUL ACTOR POOL stage (kernels/config built once per actor).
+
+    Fusing matters at scale: both sides' features are already co-located in
+    the partition, and every pair is canonical before scoring, so the 1-3 KB
+    wide pair rows never enter the object store — only narrow score rows
+    (ids + float32 features) leave the task.  The reference instead pickles
+    both FULL tables into every worker (compare_ldu_hw.py:170-177).
+    """
+
+    def __init__(self, cfg: PipelineConfig):
+        from record_linkage_ldu_ray.stages.scoring import PairScorer
+
+        self.cfg = cfg
+        self.scorer = PairScorer(cfg)
+        self.batch = cfg.scorer_batch_size
+
+    def __call__(self, tbl: pa.Table) -> pa.Table:
+        from record_linkage_ldu_ray.stages.scoring import SCORE_FEATURES
+
+        if "bpart" in tbl.column_names:
+            tbl = tbl.drop_columns(["bpart"])
+        pair_tbl = _enumerate_part(tbl, self.cfg)
+        if len(pair_tbl) == 0:
+            cols = {
+                "conv_id_a": pa.array([], pa.string()),
+                "conv_id_b": pa.array([], pa.string()),
+            }
+            for f in SCORE_FEATURES + ["total"]:
+                cols[f] = pa.array([], pa.float32())
+            return pa.table(cols)
+        outs = []
+        for off in range(0, len(pair_tbl), self.batch):
+            outs.append(self.scorer(pair_tbl.slice(off, self.batch)))
+        return pa.concat_tables(outs)
+
+
+def enumerate_and_score(block_rows_ds, cfg: PipelineConfig):
+    """Block rows → score rows in ONE exchange (see EnumerateScorer)."""
+    import ray
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    ds = block_rows_ds.map_batches(
+        _add_block_part,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        fn_kwargs={"num_parts": cfg.pair_partitions},
+    )
+    if cfg.scorer_concurrency is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        conc = (2, max(4, cpus))
+    else:
+        conc = cfg.scorer_concurrency
+    return partitioned_map(
+        ds,
+        ["bpart"],
+        cfg.pair_partitions,
+        EnumerateScorer,
+        fn_constructor_args=(cfg,),
+        concurrency=conc,
+        num_cpus=1,
+    )

