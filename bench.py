@@ -59,7 +59,7 @@ def run_flagship(sf_dir: str) -> dict:
     sf = max(_sf_of(sf_dir), 0.001)
     spec = FixtureSpec(
         n_families=max(60, int(12000 * sf)),
-        hot_block=int(30000 * sf),
+        hot_block=int(50000 * sf),
         # hot block = near-duplicates of one base conv: every hot pair
         # clears the est gate, so the measured quantity is the full
         # scoring-kernel throughput (the north-rule metric), not just

@@ -116,6 +116,13 @@ def dedup_transcripts(
     )
     if man:
         metrics["scores"] = man["counters"]
+    elif workdir is None:
+        # streaming mode: scores feed matches/clusters AND are returned to
+        # the caller — pin the narrow score rows (ids + float32 features)
+        # once instead of re-running enumeration+scoring per consumer.  At
+        # full 10^12-turn scale use workdir checkpointing instead (scores
+        # stream back from Parquet).
+        scores = scores.materialize()
 
     matches, man = _maybe_checkpoint(
         "matches",

@@ -197,9 +197,16 @@ class EnumerateScorer:
 
 
 def enumerate_and_score(block_rows_ds, cfg: PipelineConfig):
-    """Block rows → score rows in ONE exchange (see EnumerateScorer)."""
-    import ray
+    """Block rows → score rows in ONE exchange (see EnumerateScorer).
 
+    Default (``scorer_concurrency=None``): task-based execution — the
+    scorer state (config + MinHash permutation params) rebuilds in
+    microseconds, and tasks reuse the cluster's WARM worker processes,
+    while a fresh actor pool pays one process spawn + import per actor per
+    dataset.  Configure ``scorer_concurrency=(min,max)`` to run the same
+    class as a stateful actor pool instead — the right choice when scorer
+    state is expensive (model weights, big lookup tables).
+    """
     from record_linkage_ldu_ray.runtime import partitioned_map
 
     ds = block_rows_ds.map_batches(
@@ -209,19 +216,14 @@ def enumerate_and_score(block_rows_ds, cfg: PipelineConfig):
         fn_kwargs={"num_parts": cfg.pair_partitions},
     )
     if cfg.scorer_concurrency is None:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        except Exception:
-            cpus = 8
-        conc = (2, max(4, cpus))
-    else:
-        conc = cfg.scorer_concurrency
+        scorer = EnumerateScorer(cfg)
+        return partitioned_map(ds, ["bpart"], cfg.pair_partitions, scorer)
     return partitioned_map(
         ds,
         ["bpart"],
         cfg.pair_partitions,
         EnumerateScorer,
         fn_constructor_args=(cfg,),
-        concurrency=conc,
+        concurrency=cfg.scorer_concurrency,
         num_cpus=1,
     )

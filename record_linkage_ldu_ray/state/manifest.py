@@ -45,24 +45,43 @@ def load_manifest(stage_dir: str) -> dict | None:
 
 def stage_is_complete(stage_dir: str, config_hash: str, lineage: list[str]) -> bool:
     m = load_manifest(stage_dir)
-    return (
+    if not (
         m is not None
         and m.get("complete", False)
         and m.get("config_hash") == config_hash
         and m.get("lineage") == sorted(lineage)
-    )
+    ):
+        return False
+    # verify every recorded partition file still exists with its recorded
+    # row count (footer-only read) — a checkpoint dir that lost files after
+    # its manifest was written must rebuild, not resume half-empty
+    parts = m.get("counters", {}).get("partitions")
+    if parts is not None:
+        for name, n in parts.items():
+            p = os.path.join(stage_dir, name)
+            try:
+                if pq.ParquetFile(p).metadata.num_rows != n:
+                    return False
+            except Exception:
+                return False
+    return True
 
 
 def _dir_counters(stage_dir: str) -> dict:
-    """Row/file counters straight from parquet footers (no data scan)."""
+    """Row/file counters straight from parquet footers (no data scan) —
+    per-partition rows recorded so a resumed run can verify each output
+    partition individually (north-rule per-partition lineage)."""
     rows = 0
     files = 0
+    partitions: dict[str, int] = {}
     for name in sorted(os.listdir(stage_dir)):
         if not name.endswith(".parquet"):
             continue
         files += 1
-        rows += pq.ParquetFile(os.path.join(stage_dir, name)).metadata.num_rows
-    return {"rows": rows, "files": files}
+        n = pq.ParquetFile(os.path.join(stage_dir, name)).metadata.num_rows
+        partitions[name] = n
+        rows += n
+    return {"rows": rows, "files": files, "partitions": partitions}
 
 
 def checkpoint_stage(

@@ -79,3 +79,24 @@ def test_config_change_invalidates(ray_session, xs_fixture_dir, tmp_path):
     second = _manifests(workdir)
     assert second["features"]["config_hash"] != first["features"]["config_hash"]
     assert second["features"]["written_at"] != first["features"]["written_at"]
+
+
+def test_lost_partition_file_forces_rebuild(ray_session, xs_fixture_dir, tmp_path):
+    """A checkpoint dir that lost a partition file AFTER its manifest was
+    written must rebuild (per-partition verification), not resume
+    half-empty."""
+    workdir = str(tmp_path / "ckpt4")
+    cfg = PipelineConfig()
+    src = f"{xs_fixture_dir}/transcripts.parquet"
+    dedup_transcripts(src, cfg, workdir=workdir)
+    first = _manifests(workdir)
+
+    feat_dir = os.path.join(workdir, "features")
+    victim = sorted(f for f in os.listdir(feat_dir) if f.endswith(".parquet"))[0]
+    os.remove(os.path.join(feat_dir, victim))
+
+    res = dedup_transcripts(src, cfg, workdir=workdir)
+    second = _manifests(workdir)
+    assert second["features"]["written_at"] != first["features"]["written_at"]
+    same, diff = clusters_equal(res.clusters, f"{xs_fixture_dir}/expected_clusters.parquet")
+    assert same, diff
