@@ -27,6 +27,8 @@ import subprocess
 import sys
 import time
 
+_REAL_STDOUT = sys.stdout
+
 
 def _sf_of(sf_dir: str) -> float:
     import re
@@ -120,6 +122,9 @@ def _worker(sf_dir: str, num_cpus: int, flagship_only: bool) -> None:
         num_cpus=num_cpus,
         include_dashboard=False,
         logging_level="ERROR",
+        # keep stdout to exactly ONE JSON line: raylet/worker warnings are
+        # forwarded to the driver's stdout otherwise
+        log_to_driver=False,
         # pin per-worker thread pools to their 1-CPU Ray allocation:
         # polars/BLAS otherwise use every PHYSICAL core regardless of
         # num_cpus, which both oversubscribes the node and falsifies the
@@ -151,8 +156,10 @@ def _worker(sf_dir: str, num_cpus: int, flagship_only: bool) -> None:
                     "pairs_per_s": round(flag["pairs_per_s"], 1),
                     "rows_out": flag["rows_out"],
                 }
-            )
+            ),
+            file=_REAL_STDOUT,
         )
+        _REAL_STDOUT.flush()
     finally:
         ray.shutdown()
 
@@ -201,11 +208,22 @@ def _scaling(sf_dir: str, lo: int, hi: int) -> None:
                 },
                 "pairs_scored": results[hi]["pairs_scored"],
             }
-        )
+        ),
+        file=_REAL_STDOUT,
     )
+    _REAL_STDOUT.flush()
 
 
 def main() -> None:
+    # stdout must carry EXACTLY one JSON line; Ray forwards raylet warnings
+    # to the driver's stdout even with log_to_driver=False, so everything
+    # incidental (including background log-forwarding threads that look up
+    # sys.stdout at call time) is routed to stderr, and only the final
+    # result prints to the real stdout.
+    global _REAL_STDOUT
+    _REAL_STDOUT = sys.stdout
+    sys.stdout = sys.stderr
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--_worker", dest="worker", action="store_true")
