@@ -35,9 +35,20 @@ def configure_exchange() -> None:
     ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
     ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
     # fewer, fatter aggregators: each handles several partitions — far
-    # cheaper to start than one actor per partition (process spawn is the
-    # dominant first-shuffle cost on a fresh cluster)
-    ctx.max_hash_shuffle_aggregators = 16
+    # cheaper to start than one actor per partition (aggregator pools
+    # respawn per dataset execution, so spawn cost recurs per exchange).
+    # ~1 aggregator per 4 CPUs measured fastest single-node; grows with
+    # the cluster.
+    ctx.max_hash_shuffle_aggregators = max(8, _cluster_cpus() // 4)
+
+
+def _cluster_cpus() -> int:
+    import ray
+
+    try:
+        return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    except Exception:
+        return 8
 
 
 def effective_partitions(requested: int) -> int:
@@ -48,13 +59,7 @@ def effective_partitions(requested: int) -> int:
     stage costs more in scheduling than it buys in parallelism.  On a big
     cluster the clamp is a no-op.
     """
-    import ray
-
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    except Exception:
-        cpus = 4
-    return max(2, min(requested, cpus * 2))
+    return max(2, min(requested, _cluster_cpus() * 2))
 
 
 def partitioned_map(ds, key_cols: list[str], num_partitions: int, fn, **map_kwargs):
@@ -77,7 +82,7 @@ def partitioned_map(ds, key_cols: list[str], num_partitions: int, fn, **map_kwar
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
     ds.context.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
-    ds.context.max_hash_shuffle_aggregators = 16
+    ds.context.max_hash_shuffle_aggregators = max(8, _cluster_cpus() // 4)
     num_partitions = effective_partitions(num_partitions)
     return ds.repartition(num_partitions, keys=key_cols, sort=False).map_batches(
         fn,
