@@ -269,3 +269,55 @@ class TestBatchKernels:
             for x in mem:
                 canon[x] = mn
         assert roots.tolist() == [canon[i] for i in range(n)]
+
+
+class TestBatchKernelProperties:
+    def test_jaro_winkler_batch_property(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from record_linkage_ldu_ray.functions.sim import jaro_winkler_batch
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.text(alphabet="abcde 0", max_size=70),
+                    st.text(alphabet="abcde 0", max_size=70),
+                ),
+                min_size=1,
+                max_size=20,
+            )
+        )
+        def check(pairs):
+            got = jaro_winkler_batch([a for a, _ in pairs], [b for _, b in pairs])
+            for i, (a, b) in enumerate(pairs):
+                ref = jaro_winkler(a[:64], b[:64])
+                assert abs(got[i] - ref) < 1e-6, (a, b)
+
+        check()
+
+    def test_jaccard_batch_matches_scalar(self):
+        from record_linkage_ldu_ray.functions.sim import (
+            jaccard_sorted_u64,
+            jaccard_sorted_u64_batch,
+        )
+
+        rng = np.random.default_rng(5)
+        vals_a, offs_a, vals_b, offs_b, expect = [], [0], [], [0], []
+        for _ in range(50):
+            na, nb = rng.integers(0, 30, 2)
+            a = np.unique(rng.integers(0, 40, na).astype(np.uint64))
+            b = np.unique(rng.integers(0, 40, nb).astype(np.uint64))
+            vals_a.append(a)
+            vals_b.append(b)
+            offs_a.append(offs_a[-1] + len(a))
+            offs_b.append(offs_b[-1] + len(b))
+            expect.append(jaccard_sorted_u64(a, b))
+        got = jaccard_sorted_u64_batch(
+            np.concatenate(vals_a) if vals_a else np.empty(0, np.uint64),
+            np.array(offs_a),
+            np.concatenate(vals_b) if vals_b else np.empty(0, np.uint64),
+            np.array(offs_b),
+        )
+        assert np.allclose(got, expect)
