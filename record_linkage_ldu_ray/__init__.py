@@ -19,13 +19,12 @@ from record_linkage_ldu_ray.config import (
     RuleConfig,
     ScoringConfig,
 )
-from record_linkage_ldu_ray.runtime import configure_exchange
-
-# The engine's execution profile: hash-shuffle exchanges (see runtime.py).
-# Applied at import so every Dataset created by callers of this library —
-# including ones built before the first pipeline call — carries the right
-# shuffle strategy.  Does NOT touch ray.init (the driver owns the session).
-configure_exchange()
+# NOTE: the engine's execution profile (hash-shuffle exchanges, see
+# runtime.py::configure_exchange) is applied by each pipeline entry point
+# and by ``partitioned_map`` — NOT at import time, so merely importing this
+# library never mutates the process-global Ray Data context of an embedding
+# application.  Datasets the caller built beforehand are fixed up per-
+# dataset inside ``partitioned_map``.
 
 __all__ = [
     "BlockingConfig",

@@ -182,6 +182,33 @@ class PipelineConfig:
 
     _SEMANTIC_FIELDS = ("normalizer", "minhash", "blocking", "scoring", "rules")
 
+    def effective_est_floor(self) -> float:
+        """The est-floor gate is only sound if a pair below the floor can
+        never fire a decision mask (its gated features jac/jw are forced 0).
+        Validate that invariant against the ACTUAL rule thresholds instead
+        of trusting the knob: if a user-supplied rule config could fire on
+        cheap features alone, the gate silently zeroes features the scorer
+        can no longer recover — so fall back to floor 0 (no gating).
+        """
+        sc, r = self.scoring, self.rules
+        floor = sc.est_floor
+        if floor <= 0.0:
+            return 0.0
+        # max achievable combined score for a gated-out pair: only the
+        # cheap features contribute (ts_sim/nturns_sim ≤ 1; minhash_est <
+        # floor by definition of the gate)
+        bound = 0.0
+        for f in ("ts_sim", "nturns_sim"):
+            if sc.thresholds.get(f, 0.0) <= 1.0:
+                bound += sc.multipliers.get(f, 0.0)
+        if floor > sc.thresholds.get("minhash_est", 0.0):
+            bound += sc.multipliers.get("minhash_est", 0.0) * floor
+        m1_safe = bound < r.score_high
+        m2_safe = r.jac_text_mid > 0.0 or bound < r.score_mid
+        m3_safe = r.ctx_jw_text > 0.0 or bound < r.score_mid
+        # mask 4 (jac==1 | jw==1) can never fire on zeroed features
+        return floor if (m1_safe and m2_safe and m3_safe) else 0.0
+
     def config_hash(self) -> str:
         """Stable hash of the SEMANTIC config (normalizer/minhash/blocking/
         scoring/rules), recorded in stage manifests.  Physical knobs

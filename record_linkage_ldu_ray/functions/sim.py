@@ -118,6 +118,43 @@ def _pad_codes(strs: list, L: int) -> tuple[np.ndarray, np.ndarray]:
     return out, lens
 
 
+def pad_codes_arrow(arr, L: int) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow string array → (n, L) uint32 code-point matrix + code-point
+    lengths, with NO per-row Python: slice to L code points with an Arrow
+    kernel, decode the contiguous utf8 buffer once (C-speed), scatter into
+    the padded matrix with one fancy-index store.  Nulls → empty."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    out = np.zeros((n, L), dtype=np.uint32)
+    lens = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out, lens
+    arr = pc.fill_null(arr, "")
+    sliced = pc.utf8_slice_codeunits(arr, 0, L)  # codepoints, per Arrow docs
+    if isinstance(sliced, pa.ChunkedArray):
+        sliced = sliced.combine_chunks()
+    lens = pc.utf8_length(sliced).to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return out, lens
+    width = 8 if pa.types.is_large_string(sliced.type) else 4
+    odt = np.int64 if width == 8 else np.int32
+    offs = np.frombuffer(
+        sliced.buffers()[1], dtype=odt, count=n + 1, offset=sliced.offset * width
+    )
+    data = sliced.buffers()[2].slice(int(offs[0]), int(offs[-1] - offs[0])).to_pybytes()
+    codes = np.frombuffer(data.decode("utf-8").encode("utf-32-le"), dtype=np.uint32)
+    starts = np.cumsum(lens) - lens
+    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    out[rows, pos] = codes
+    return out, lens
+
+
 def jaro_winkler_batch(
     strs_a: list,
     strs_b: list,
@@ -125,21 +162,53 @@ def jaro_winkler_batch(
     prefix_weight: float = 0.1,
     max_prefix: int = 4,
 ) -> np.ndarray:
-    """Vectorized Jaro-Winkler over n string pairs — bit-parallel greedy
-    matching (one uint64 position mask per (pair, character), the public
-    technique rapidfuzz uses for ≤64-char strings) so the per-batch cost is
-    O(max_len) numpy passes instead of O(n · L²) Python loops.
-
-    Semantics match the scalar ``jaro_winkler`` exactly (including the
-    classic ``match_dist = max(len)//2 - 1`` edge case for 1-char strings);
-    strings longer than ``max_len`` are truncated.
-    """
+    """Vectorized Jaro-Winkler over n string pairs — see ``_jw_core``.
+    Strings longer than ``max_len`` are truncated; None → empty."""
     n = len(strs_a)
     if n == 0:
         return np.zeros(0, dtype=np.float32)
-    L = min(max_len, 64)  # one uint64 position word per (pair, char)
+    L = min(max_len, 64)
     A, la = _pad_codes(strs_a, L)
     B, lb = _pad_codes(strs_b, L)
+    return _jw_core(A, la, B, lb, prefix_weight, max_prefix)
+
+
+def jaro_winkler_batch_arrow(
+    arr_a,
+    arr_b,
+    max_len: int = 64,
+    prefix_weight: float = 0.1,
+    max_prefix: int = 4,
+) -> np.ndarray:
+    """``jaro_winkler_batch`` fed directly from Arrow string arrays — the
+    padded code matrices come from Arrow buffers (``pad_codes_arrow``), so
+    the scorer's hot path never materializes Python strings."""
+    n = len(arr_a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float32)
+    L = min(max_len, 64)
+    A, la = pad_codes_arrow(arr_a, L)
+    B, lb = pad_codes_arrow(arr_b, L)
+    return _jw_core(A, la, B, lb, prefix_weight, max_prefix)
+
+
+def _jw_core(
+    A: np.ndarray,
+    la: np.ndarray,
+    B: np.ndarray,
+    lb: np.ndarray,
+    prefix_weight: float = 0.1,
+    max_prefix: int = 4,
+) -> np.ndarray:
+    """Bit-parallel batched Jaro-Winkler over padded (n, L) uint32 code
+    matrices — one uint64 position mask per (pair, character), the public
+    technique rapidfuzz uses for ≤64-char strings, so the per-batch cost is
+    O(L) numpy passes instead of O(n · L²) Python loops.
+
+    Semantics match the scalar ``jaro_winkler`` exactly (including the
+    classic ``match_dist = max(len)//2 - 1`` edge case for 1-char strings).
+    """
+    n, L = A.shape
 
     # alphabet: ASCII fast path (normalized text is [a-z0-9 ]) indexes PMB
     # directly by code point; rare non-ASCII batches fall back to np.unique.
@@ -220,35 +289,71 @@ def jaccard_sorted_u64_batch(
     off_b: np.ndarray,
 ) -> np.ndarray:
     """Vectorized Jaccard over n pairs of SORTED-UNIQUE uint64 hash lists
-    given as (flat values, offsets) — one searchsorted over the whole batch.
+    given as (flat values, offsets) — no per-pair Python loop.
 
-    For each pair i the shorter side is probed against the longer side; the
-    probe is a single global ``searchsorted`` on concatenated per-pair
-    arrays offset into disjoint key spaces.
+    Intersection counting is one lexsort of the concatenated (pair_id,
+    value) pairs of both sides: within a pair each side is unique, so a
+    value that appears twice under the same pair id is an intersection hit.
+    O(T log T) over the total token count of the batch, all in numpy.
     """
     n = len(off_a) - 1
-    la = off_a[1:] - off_a[:-1]
-    lb = off_b[1:] - off_b[:-1]
+    la = (off_a[1:] - off_a[:-1]).astype(np.int64)
+    lb = (off_b[1:] - off_b[:-1]).astype(np.int64)
     out = np.zeros(n, dtype=np.float32)
-    both_empty = (la == 0) & (lb == 0)
-    out[both_empty] = 1.0
-    live = np.nonzero((la > 0) & (lb > 0))[0]
-    if len(live) == 0:
+    out[(la == 0) & (lb == 0)] = 1.0
+    total = int(la.sum() + lb.sum())
+    if total == 0:
         return out
+    pid = np.empty(total, dtype=np.int64)
+    allv = np.empty(total, dtype=np.uint64)
+    ta = int(la.sum())
+    pid[:ta] = np.repeat(np.arange(n, dtype=np.int64), la)
+    pid[ta:] = np.repeat(np.arange(n, dtype=np.int64), lb)
+    # offsets may address a larger flat buffer (e.g. list offsets of an
+    # Arrow batch) — gather each side's segments into exact flat layout
+    allv[:ta] = _gather_flat(val_a, off_a, la)
+    allv[ta:] = _gather_flat(val_b, off_b, lb)
+    order = np.lexsort((allv, pid))
+    sv = allv[order]
+    sp = pid[order]
+    dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
     inter = np.zeros(n, dtype=np.int64)
-    # per-pair merged intersection counts via sort of the concatenated pair
-    # arrays tagged by pair id: duplicates within a pair appear exactly twice
-    # (each side is unique) → count equal adjacent (pair, value) entries.
-    for i in live:  # fallback loop kept simple; dominated by searchsorted
-        a = val_a[off_a[i] : off_a[i + 1]]
-        b = val_b[off_b[i] : off_b[i + 1]]
-        if len(a) > len(b):
-            a, b = b, a
-        idx = np.searchsorted(b, a)
-        idx[idx == len(b)] = len(b) - 1
-        inter[i] = np.count_nonzero(b[idx] == a)
-    out[live] = inter[live] / (la[live] + lb[live] - inter[live])
+    np.add.at(inter, sp[1:][dup], 1)
+    denom = la + lb - inter
+    live = denom > 0
+    out[live] = (inter[live] / denom[live]).astype(np.float32)
     return out
+
+
+def _gather_flat(vals: np.ndarray, offsets: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Gather the segments [offsets[i], offsets[i]+lens[i]) into one flat
+    array (vectorized repeat+arange indexing)."""
+    total = int(lens.sum())
+    if total == 0:
+        return vals[:0]
+    starts = offsets[:-1].astype(np.int64)
+    seg_start = np.cumsum(lens) - lens
+    idx = np.repeat(starts, lens) + (np.arange(total, dtype=np.int64) - np.repeat(seg_start, lens))
+    return vals[idx]
+
+
+def gather_list_segments(
+    vals: np.ndarray, offsets: np.ndarray, idx: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Select list-rows ``idx`` from a flat (values, offsets) list layout →
+    (gathered flat values, new exact offsets).  Fully vectorized; the hot
+    path for gated-subset kernels (scorer reads only pairs over the est
+    floor)."""
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)[idx]
+    new_off = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(lens, out=new_off[1:])
+    total = int(new_off[-1])
+    if total == 0:
+        return vals[:0], new_off
+    flat = np.repeat(offsets[idx].astype(np.int64), lens) + (
+        np.arange(total, dtype=np.int64) - np.repeat(new_off[:-1], lens)
+    )
+    return vals[flat], new_off
 
 
 def jaccard_sorted_u64(a: np.ndarray, b: np.ndarray) -> float:

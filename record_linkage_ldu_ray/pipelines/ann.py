@@ -30,6 +30,16 @@ def _unit_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+def _empty_candidates(id_col: str) -> pa.Table:
+    return pa.table(
+        {
+            "qidx": pa.array([], pa.int32()),
+            id_col: pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        }
+    )
+
+
 def brute_force_topk(
     ds: "ray.data.Dataset",
     query_vectors: np.ndarray,
@@ -47,6 +57,8 @@ def brute_force_topk(
     q_ref = ray.put(qt)  # broadcast once
 
     def _partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # Ray Data can emit empty blocks — reshape(0,-1)
+            return _empty_candidates(id_col)  # and argpartition(kth=-1) choke
         q = ray.get(q_ref)
         ids = t[id_col].to_numpy()
         mat = _unit_rows(_as_matrix(t[vec_col], len(t)))
@@ -68,8 +80,8 @@ def brute_force_topk(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     ).to_arrow_refs()
     # driver-side merge of the small candidate set (≤ blocks × Q × k rows)
-    tables = [ray.get(r) for r in cand]
-    merged = pa.concat_tables([t for t in tables if len(t)])
+    tables = [t for r in cand if len(t := ray.get(r))]
+    merged = pa.concat_tables(tables) if tables else _empty_candidates(id_col)
     qi = merged["qidx"].to_numpy()
     vid = merged[id_col].to_numpy()
     cs = merged["cos_sim"].to_numpy()

@@ -109,7 +109,9 @@ def dedup_transcripts(
     # stages/pairs.py EnumerateScorer)
     scores, man = _maybe_checkpoint(
         "scores",
-        lambda: enumerate_and_score(emit_block_rows(features, cfg, hot, dropped), cfg),
+        lambda: enumerate_and_score(
+            emit_block_rows(features, cfg, hot, dropped), cfg, dropped
+        ),
         workdir,
         ch,
         src + ["features"],

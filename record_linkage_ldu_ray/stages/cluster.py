@@ -128,9 +128,11 @@ def connected_components(edges_ds, all_ids_ds, cfg: PipelineConfig):
 
     prev = None
     rounds = 0
+    converged = False
     for rounds in range(1, cfg.max_unionfind_rounds + 1):
         n_edges = edges.count()
         if n_edges == 0:
+            converged = True
             break
         # ≥ ~100k edges per partition-task; small graphs run in few tasks
         num_parts = int(min(cfg.pair_partitions, max(1, n_edges // 100_000 + 1)))
@@ -143,8 +145,22 @@ def connected_components(edges_ds, all_ids_ds, cfg: PipelineConfig):
         edges = partitioned_map(sym, ["upart"], num_parts, _contract).materialize()
         cur = _edge_checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+
+    if not converged:
+        # a truncated clustering must NEVER be silently checkpointed as
+        # complete (the round cap is a physical knob excluded from the
+        # config hash, so two caps share checkpoints — only valid if both
+        # actually reached the fixpoint)
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint within "
+            f"{cfg.max_unionfind_rounds} rounds ({prev[0] if prev else '?'} "
+            "star edges still changing); raise PipelineConfig."
+            "max_unionfind_rounds — the round count needed grows with "
+            "O(log diameter) of the contracted match graph"
+        )
 
     # labels: after convergence every edge is (node, root).  Include
     # self-edges for the whole universe so singletons label themselves.

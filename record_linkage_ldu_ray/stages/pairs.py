@@ -53,7 +53,9 @@ def _add_block_part(batch: pa.Table, num_parts: int) -> pa.Table:
     return batch.append_column("bpart", pa.array(part, pa.int32()))
 
 
-def _enumerate_part(tbl: pa.Table, cfg: PipelineConfig) -> pa.Table:
+def _enumerate_part(
+    tbl: pa.Table, cfg: PipelineConfig, dropped_keys: np.ndarray | None = None
+) -> pa.Table:
     n = len(tbl)
     bk = tbl["block_key"].to_numpy(zero_copy_only=False)
     conv = tbl["conv_id"]
@@ -85,6 +87,14 @@ def _enumerate_part(tbl: pa.Table, cfg: PipelineConfig) -> pa.Table:
         sigs = mh.flatten().to_numpy(zero_copy_only=False).reshape(n, k)
         bands_hashes = lsh_band_hashes(sigs, cfg.blocking)  # (n, bands)
         eq = bands_hashes[ia] == bands_hashes[ib]
+        if dropped_keys is not None and len(dropped_keys):
+            # ownership must skip bands whose block was DROPPED (oversized
+            # non-discriminative keys emit no rows): if the first colliding
+            # band's block never ran, every surviving block would reject the
+            # pair.  Mask dropped bands out of the collision matrix; a pair
+            # whose colliding bands are ALL dropped falls through to the
+            # prefix block (first == bands == the prefix key_src).
+            eq &= ~np.isin(bands_hashes[ia].view(np.int64), dropped_keys)
         first = np.where(eq.any(axis=1), eq.argmax(axis=1), cfg.blocking.bands)
         src = tbl["key_src"].to_numpy(zero_copy_only=False)[ia]
         keep = first == src.astype(np.int64)
@@ -114,7 +124,7 @@ def _enumerate_part(tbl: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
     # heavy payload only for pairs the scorer will actually read
     # (est ≥ floor); null indices make Table.take emit null rows
-    inactive = est < np.float32(cfg.scoring.est_floor)
+    inactive = est < np.float32(cfg.effective_est_floor())
     cheap = tbl.select(_CHEAP_COLS)
     heavy = tbl.select(_HEAVY_COLS)
     idx_a = pa.array(ia, pa.int64())
@@ -138,7 +148,15 @@ def _enumerate_part(tbl: pa.Table, cfg: PipelineConfig) -> pa.Table:
     return pa.table(cols).select([f"{c}_a" for c in _SIDE_COLS] + [f"{c}_b" for c in _SIDE_COLS] + ["minhash_est"])
 
 
-def generate_pairs(block_rows_ds, cfg: PipelineConfig):
+def _dropped_key_array(dropped: dict | None) -> np.ndarray | None:
+    """Driver-side dropped-block keys → int64 array shipped to enumeration
+    tasks (tiny by construction: only keys above drop_block_records)."""
+    if not dropped:
+        return None
+    return np.fromiter(dropped.keys(), dtype=np.int64, count=len(dropped))
+
+
+def generate_pairs(block_rows_ds, cfg: PipelineConfig, dropped: dict | None = None):
     """Block rows → candidate pair rows, each pair exactly once (canonical
     conv_id_a < conv_id_b, lowest-colliding-band dedup — no second
     shuffle)."""
@@ -148,9 +166,10 @@ def generate_pairs(block_rows_ds, cfg: PipelineConfig):
         zero_copy_batch=True,
         fn_kwargs={"num_parts": cfg.pair_partitions},
     )
+    dk = _dropped_key_array(dropped)
 
     def _enum(tbl: pa.Table) -> pa.Table:
-        return _enumerate_part(tbl.drop_columns(["bpart"]), cfg)
+        return _enumerate_part(tbl.drop_columns(["bpart"]), cfg, dk)
 
     from record_linkage_ldu_ray.runtime import partitioned_map
 
@@ -169,10 +188,11 @@ class EnumerateScorer:
     both FULL tables into every worker (compare_ldu_hw.py:170-177).
     """
 
-    def __init__(self, cfg: PipelineConfig):
+    def __init__(self, cfg: PipelineConfig, dropped_keys: np.ndarray | None = None):
         from record_linkage_ldu_ray.stages.scoring import PairScorer
 
         self.cfg = cfg
+        self.dropped_keys = dropped_keys
         self.scorer = PairScorer(cfg)
         self.batch = cfg.scorer_batch_size
 
@@ -181,7 +201,7 @@ class EnumerateScorer:
 
         if "bpart" in tbl.column_names:
             tbl = tbl.drop_columns(["bpart"])
-        pair_tbl = _enumerate_part(tbl, self.cfg)
+        pair_tbl = _enumerate_part(tbl, self.cfg, self.dropped_keys)
         if len(pair_tbl) == 0:
             cols = {
                 "conv_id_a": pa.array([], pa.string()),
@@ -196,7 +216,7 @@ class EnumerateScorer:
         return pa.concat_tables(outs)
 
 
-def enumerate_and_score(block_rows_ds, cfg: PipelineConfig):
+def enumerate_and_score(block_rows_ds, cfg: PipelineConfig, dropped: dict | None = None):
     """Block rows → score rows in ONE exchange (see EnumerateScorer).
 
     Default (``scorer_concurrency=None``): task-based execution — the
@@ -215,15 +235,16 @@ def enumerate_and_score(block_rows_ds, cfg: PipelineConfig):
         zero_copy_batch=True,
         fn_kwargs={"num_parts": cfg.pair_partitions},
     )
+    dk = _dropped_key_array(dropped)
     if cfg.scorer_concurrency is None:
-        scorer = EnumerateScorer(cfg)
+        scorer = EnumerateScorer(cfg, dk)
         return partitioned_map(ds, ["bpart"], cfg.pair_partitions, scorer)
     return partitioned_map(
         ds,
         ["bpart"],
         cfg.pair_partitions,
         EnumerateScorer,
-        fn_constructor_args=(cfg,),
+        fn_constructor_args=(cfg, dk),
         concurrency=cfg.scorer_concurrency,
         num_cpus=1,
     )

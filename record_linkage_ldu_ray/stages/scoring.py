@@ -30,8 +30,9 @@ import pyarrow as pa
 
 from record_linkage_ldu_ray.config import PipelineConfig
 from record_linkage_ldu_ray.functions.sim import (
-    jaccard_sorted_u64,
-    jaro_winkler_batch,
+    gather_list_segments,
+    jaccard_sorted_u64_batch,
+    jaro_winkler_batch_arrow,
     minmax_ratio,
 )
 
@@ -62,19 +63,26 @@ class PairScorer:
         self.tau = cfg.scoring.ts_tau_seconds
         # MinHash-estimate floor below which no mask can fire (see module
         # docstring); shared with pair enumeration, which nulls the heavy
-        # feature payload of gated-out pairs.
-        self.est_floor = cfg.scoring.est_floor
+        # feature payload of gated-out pairs.  Validated against the rule
+        # thresholds — falls back to 0 (no gating) if the invariant breaks.
+        self.est_floor = cfg.effective_est_floor()
 
     @staticmethod
-    def _jw_gated(a: list, b: list, active: np.ndarray, max_len: int) -> np.ndarray:
-        """Batched Jaro-Winkler on the gated subset; missing-either → 0
+    def _jw_gated(batch: pa.Table, col: str, take_idx: pa.Array, max_len: int) -> np.ndarray:
+        """Batched Jaro-Winkler on the gated subset, fed straight from the
+        Arrow columns (no Python string lists); missing-either → 0
         (README.md:169 missing-field rule)."""
-        sa = [a[i] for i in active]
-        sb = [b[i] for i in active]
-        out = jaro_winkler_batch(sa, sb, max_len=min(max_len, 64))
-        both = np.fromiter(
-            (bool(x) and bool(y) for x, y in zip(sa, sb)), dtype=bool, count=len(sa)
-        )
+        import pyarrow.compute as pc
+
+        a = batch[f"{col}_a"].combine_chunks() if isinstance(batch[f"{col}_a"], pa.ChunkedArray) else batch[f"{col}_a"]
+        b = batch[f"{col}_b"].combine_chunks() if isinstance(batch[f"{col}_b"], pa.ChunkedArray) else batch[f"{col}_b"]
+        ga = a.take(take_idx)
+        gb = b.take(take_idx)
+        out = jaro_winkler_batch_arrow(ga, gb, max_len=min(max_len, 64))
+        # missing-either → 0: null or empty string on either side
+        la = pc.utf8_length(pc.fill_null(ga, "")).to_numpy(zero_copy_only=False)
+        lb = pc.utf8_length(pc.fill_null(gb, "")).to_numpy(zero_copy_only=False)
+        both = (la > 0) & (lb > 0)
         return np.where(both, out, np.float32(0.0)).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -110,19 +118,15 @@ class PairScorer:
         jw_o = np.zeros(n, dtype=np.float32)
         active = np.nonzero(est >= self.est_floor)[0]
         if len(active):
-            for i in active:
-                jac[i] = jaccard_sorted_u64(
-                    val_a[off_a[i] : off_a[i + 1]], val_b[off_b[i] : off_b[i + 1]]
-                )
-            txt_a = batch["text_prefix_a"].to_pylist()
-            txt_b = batch["text_prefix_b"].to_pylist()
-            role_a = batch["role_seq_a"].to_pylist()
-            role_b = batch["role_seq_b"].to_pylist()
-            tool_a = batch["tool_seq_a"].to_pylist()
-            tool_b = batch["tool_seq_b"].to_pylist()
-            jw_t[active] = self._jw_gated(txt_a, txt_b, active, self.jw_max)
-            jw_r[active] = self._jw_gated(role_a, role_b, active, 64)
-            jw_o[active] = self._jw_gated(tool_a, tool_b, active, 64)
+            # exact Jaccard over the gated subset: gather each side's token
+            # segments into flat layout and run ONE vectorized batch kernel
+            ga_vals, ga_off = gather_list_segments(val_a, off_a, active)
+            gb_vals, gb_off = gather_list_segments(val_b, off_b, active)
+            jac[active] = jaccard_sorted_u64_batch(ga_vals, ga_off, gb_vals, gb_off)
+            take_idx = pa.array(active, pa.int64())
+            jw_t[active] = self._jw_gated(batch, "text_prefix", take_idx, self.jw_max)
+            jw_r[active] = self._jw_gated(batch, "role_seq", take_idx, 64)
+            jw_o[active] = self._jw_gated(batch, "tool_seq", take_idx, 64)
         cols["jac_text"] = jac
         cols["jw_text"] = jw_t
         cols["jw_role"] = jw_r
