@@ -94,6 +94,14 @@ def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1, max_prefix: int =
 _U64_ONE = np.uint64(1)
 _U64_FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
+# 64-bit De Bruijn sequence: index of an isolated set bit b is
+# TABLE[(b * CONST) >> 58] — the classic public bit-hack, integer-exact
+_DB_CONST = np.uint64(0x03F79D71B4CB0A89)
+_DB_TABLE = np.zeros(64, dtype=np.int64)
+for _k in range(64):
+    _DB_TABLE[((1 << _k) * 0x03F79D71B4CB0A89 % (1 << 64)) >> 58] = _k
+del _k
+
 
 def _mask_below(k: np.ndarray) -> np.ndarray:
     """uint64 masks with bits [0, k) set; k in [0, 64] (vectorized)."""
@@ -229,40 +237,58 @@ def _jw_core(
     PMB = np.zeros((n, K), dtype=np.uint64)
     rng_rows = np.arange(n)
     Lb_max = int(lb.max(initial=0))
+    # per-(column, row) scatter bits precomputed in one broadcast; the loop
+    # body is then a single fancy scatter-OR per column
+    BITS = np.where(
+        np.arange(Lb_max, dtype=np.int64)[:, None] < lb[None, :],
+        _U64_ONE << np.arange(Lb_max, dtype=np.uint64)[:, None],
+        np.uint64(0),
+    )
+    BidT = np.ascontiguousarray(Bid.T)
     for jcol in range(Lb_max):
-        bit = np.where(jcol < lb, _U64_ONE << np.uint64(jcol), np.uint64(0))
-        PMB[rng_rows, Bid[:, jcol]] |= bit
+        PMB[rng_rows, BidT[jcol]] |= BITS[jcol]
 
     md = np.maximum(la, lb) // 2 - 1  # may be -1 (empty window), per scalar
 
-    usedB = np.zeros(n, dtype=np.uint64)
-    jpos = np.full((n, L), -1, dtype=np.int64)  # j matched at A-position i
-    rng_n = np.arange(n)
     Lmax = int(la.max(initial=0))
+    # search-window masks for every iteration, precomputed OUTSIDE the loop:
+    # the window depends only on (i, md) and md takes ≤ 33 distinct values,
+    # so build a tiny (n_md, Lmax) table and gather per row; the ``i < la``
+    # validity mask folds straight into the window
+    md_vals, md_inv = np.unique(md, return_inverse=True)
+    iv = np.arange(Lmax, dtype=np.int64)[None, :]
+    lo = np.clip(iv - md_vals[:, None], 0, 64)
+    hi = np.clip(iv + md_vals[:, None] + 1, 0, 64)
+    Wtab = _mask_below(hi) & ~_mask_below(lo)
+    Wtab = np.where(hi > lo, Wtab, np.uint64(0))  # (n_md, Lmax)
+    WT = np.ascontiguousarray(Wtab[md_inv].T)  # (Lmax, n)
+    if Lmax:
+        WT &= np.where(
+            np.arange(Lmax, dtype=np.int64)[:, None] < la[None, :], _U64_FULL, np.uint64(0)
+        )
+
+    usedB = np.zeros(n, dtype=np.uint64)
+    gotT = np.zeros((Lmax, n), dtype=bool)  # did A-position i match?
+    rng_n = np.arange(n)
+    AidT = np.ascontiguousarray(Aid.T)  # contiguous per-iteration rows
     for i in range(Lmax):
-        lo = np.clip(i - md, 0, 64)
-        hi = np.clip(i + md + 1, 0, 64)
-        window = _mask_below(hi) & ~_mask_below(lo)
-        window = np.where(hi > lo, window, np.uint64(0))
-        cand = PMB[rng_n, Aid[:, i]] & window & ~usedB
-        cand = np.where(i < la, cand, np.uint64(0))
+        cand = PMB[rng_n, AidT[i]] & (WT[i] & ~usedB)
         bit = cand & (np.uint64(0) - cand)  # lowest set bit
         usedB |= bit
-        got = bit != 0
-        # bit_length-1 == j  (uint64 → float64 log2 is exact for 2^k, k<64)
-        with np.errstate(divide="ignore"):
-            jv = np.where(got, np.round(np.log2(bit.astype(np.float64))), -1).astype(np.int64)
-        jpos[:, i] = jv
+        gotT[i] = bit != np.uint64(0)
 
-    matched = jpos >= 0
+    matched = gotT.T  # (n, Lmax)
     m = matched.sum(axis=1)
 
-    # transpositions: matched A chars in i-order vs matched B chars in j-order
-    r_idx, c_idx = np.nonzero(matched)  # row-major ⇒ i-ascending per row
+    # transpositions: matched A chars in i-order vs matched B chars in
+    # ascending-j order.  The matched B positions are exactly the set bits
+    # of usedB, and np.nonzero's row-major order yields both sequences in
+    # the right order with matching per-row counts — no sort needed.
+    r_idx, c_idx = np.nonzero(matched)  # i-ascending per row
     a_chars = Aid[r_idx, c_idx]
-    jvals = jpos[r_idx, c_idx]
-    order = np.lexsort((jvals, r_idx))
-    b_chars = Bid[r_idx, jvals[order]]
+    matchedB = (usedB[:, None] >> np.arange(L, dtype=np.uint64)[None, :]) & _U64_ONE
+    rb, jb = np.nonzero(matchedB)  # j-ascending per row
+    b_chars = Bid[rb, jb]
     t = np.zeros(n, dtype=np.int64)
     np.add.at(t, r_idx, (a_chars != b_chars).astype(np.int64))
     t //= 2

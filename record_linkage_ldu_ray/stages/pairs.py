@@ -80,6 +80,19 @@ def _enumerate_part(
     k = cfg.minhash.num_perm
 
     if len(ia) > 0:
+        # salt-diagonal filter FIRST: byte-sized gathers that kill the
+        # off-diagonal replicas of salted hot blocks before the wide
+        # band-collision gathers run (a same-bucket pair appears in every
+        # off-diagonal sub-block containing its bucket — keep it only in
+        # the diagonal one)
+        sb = tbl["salt_bucket"].to_numpy(zero_copy_only=False)
+        sd = tbl["salt_diag"].to_numpy(zero_copy_only=False)
+        salted = sb[ia] >= 0
+        same_bucket = sb[ia] == sb[ib]
+        keep = ~salted | (sd[ia] & same_bucket) | (~sd[ia] & ~same_bucket)
+        ia, ib = ia[keep], ib[keep]
+
+    if len(ia) > 0:
         # lowest-colliding-band canonicality (see module docstring)
         mh = tbl["minhash"]
         if isinstance(mh, pa.ChunkedArray):
@@ -94,17 +107,13 @@ def _enumerate_part(
             # pair.  Mask dropped bands out of the collision matrix; a pair
             # whose colliding bands are ALL dropped falls through to the
             # prefix block (first == bands == the prefix key_src).
-            eq &= ~np.isin(bands_hashes[ia].view(np.int64), dropped_keys)
+            # Dropped-ness is a per-(record, band) property — test it ONCE
+            # on the (n, bands) key matrix, not per pair.
+            ok = ~np.isin(bands_hashes.view(np.int64), dropped_keys)
+            eq &= ok[ia]
         first = np.where(eq.any(axis=1), eq.argmax(axis=1), cfg.blocking.bands)
         src = tbl["key_src"].to_numpy(zero_copy_only=False)[ia]
         keep = first == src.astype(np.int64)
-        # salted sub-blocks: a same-bucket pair appears in every off-diagonal
-        # sub-block containing its bucket — keep it only in the diagonal one
-        sb = tbl["salt_bucket"].to_numpy(zero_copy_only=False)
-        sd = tbl["salt_diag"].to_numpy(zero_copy_only=False)
-        salted = sb[ia] >= 0
-        same_bucket = sb[ia] == sb[ib]
-        keep &= ~salted | (sd[ia] & same_bucket) | (~sd[ia] & ~same_bucket)
         ia, ib = ia[keep], ib[keep]
 
     if len(ia) == 0:

@@ -71,7 +71,9 @@ class PairScorer:
     def _jw_gated(batch: pa.Table, col: str, take_idx: pa.Array, max_len: int) -> np.ndarray:
         """Batched Jaro-Winkler on the gated subset, fed straight from the
         Arrow columns (no Python string lists); missing-either → 0
-        (README.md:169 missing-field rule)."""
+        (README.md:169 missing-field rule).  Per-column calls (rather than
+        one stacked call) keep short columns (role/tool sequences) at their
+        own shorter iteration count in the O(L) bit-parallel loop."""
         import pyarrow.compute as pc
 
         a = batch[f"{col}_a"].combine_chunks() if isinstance(batch[f"{col}_a"], pa.ChunkedArray) else batch[f"{col}_a"]
