@@ -297,6 +297,58 @@ def _q_transcript_dedup(sf_dir: str):
     return dedup_transcripts(transcripts_from_documents(sf_dir)).clusters
 
 
+def _q_bipartite_jaccard_links(sf_dir: str):
+    """Cross-table linkage, SQL-oracle shape: within-``source`` blocks, only
+    pairs crossing the two document halves (side = (doc_id // 20) % 2 —
+    doc_id % 20 IS the source, so parity alone never crosses a block)."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import jaccard_dup_pairs
+
+    def _side(t: pa.Table) -> pa.Table:
+        side = ((t["doc_id"].to_numpy() // 20) % 2).astype(np.int32)
+        return t.append_column("side", pa.array(side, pa.int32()))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet").map_batches(
+        _side, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return jaccard_dup_pairs(ds, tau=0.5, side_col="side")
+
+
+def _q_bipartite_linkage(sf_dir: str):
+    """Full cross-table linkage pipeline (the reference's PRIMARY LDU↔HW
+    flow): two transcript corpora → shared blocking → cross-only pair
+    scoring → cross 4-mask rule → matched A×B edge list.  Sides are the
+    two halves of the documents-derived transcript corpus."""
+    import pyarrow as pa
+
+    from record_linkage_ldu_ray.pipelines.linkage import link_datasets
+    from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
+
+    def _half(parity: int):
+        def _f(t: pa.Table) -> pa.Table:
+            import numpy as np
+            import pyarrow.compute as pc
+
+            doc = pc.cast(
+                pc.utf8_slice_codeunits(t["conv_id"], 4, 32), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((doc // 20) % 2 == parity))
+
+        return _f
+
+    ts = transcripts_from_documents(sf_dir)
+    a = ts.map_batches(_half(0), batch_format="pyarrow", zero_copy_batch=True)
+    b = ts.map_batches(_half(1), batch_format="pyarrow", zero_copy_batch=True)
+    res = link_datasets(a, b)
+    return res.matches.select_columns(["conv_id_a", "conv_id_b"]).sort(
+        ["conv_id_a", "conv_id_b"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # linkage-engine kernels / relational primitives
@@ -328,8 +380,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "payload_metadata": _q_payload_metadata,
         "image_features_stub": _q_image_features_stub,
-        # flagship
+        # flagship + cross-table linkage
         "transcript_dedup": _q_transcript_dedup,
+        "bipartite_jaccard_links": _q_bipartite_jaccard_links,
+        "bipartite_linkage": _q_bipartite_linkage,
     }
 
 
@@ -492,7 +546,23 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE event_type END AS event_type_canon
             FROM events
         """,
+        "bipartite_jaccard_links": f"""
+            WITH toks AS (
+              SELECT doc_id, source, list_distinct({_WS_WORDS}) AS w
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                       / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) AS j
+              FROM toks a JOIN toks b
+                ON a.source = b.source
+               AND (a.doc_id // 20) % 2 = 0 AND (b.doc_id // 20) % 2 = 1
+              WHERE len(a.w) + len(b.w) > 0)
+            SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
+            FROM pairs WHERE j >= 0.5
+        """,
         # minhash_lsh_dup_pairs, simhash_dup_pairs, winnowing_fingerprints,
-        # lsh_ann_topk, image_features_stub, transcript_dedup: sketch-based /
-        # model-stub / iterative pipelines — not SQL-expressible, rows-only.
+        # lsh_ann_topk, image_features_stub, transcript_dedup,
+        # bipartite_linkage: sketch-based / model-stub / iterative pipelines
+        # — not SQL-expressible, rows-only.
     }

@@ -124,55 +124,129 @@ def _pairs_within_groups(df: pl.DataFrame, group_col: str, id_col: str) -> np.nd
 # within-block pairwise token-set Jaccard (SQL-expressible oracle shape)
 
 
+def _pair_jaccard_f64(
+    flat_sorted: np.ndarray, offsets: np.ndarray, ii: np.ndarray, jj: np.ndarray
+) -> np.ndarray:
+    """float64 Jaccard for row-index pairs (ii, jj) over per-row
+    SORTED-unique uint64 hash segments — one lexsort over (pair, value),
+    no per-pair Python (float64 kept end-to-end for oracle hash parity;
+    both-sides-empty → 0.0, matching the SQL oracle's len()>0 guard)."""
+    from record_linkage_ldu_ray.functions.sim import gather_list_segments
+
+    m = len(ii)
+    va, oa = gather_list_segments(flat_sorted, offsets, ii)
+    vb, ob = gather_list_segments(flat_sorted, offsets, jj)
+    la = oa[1:] - oa[:-1]
+    lb = ob[1:] - ob[:-1]
+    pid = np.concatenate(
+        [np.repeat(np.arange(m, dtype=np.int64), la), np.repeat(np.arange(m, dtype=np.int64), lb)]
+    )
+    vals = np.concatenate([va, vb])
+    order = np.lexsort((vals, pid))
+    sv, sp = vals[order], pid[order]
+    dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+    inter = np.zeros(m, dtype=np.int64)
+    np.add.at(inter, sp[1:][dup], 1)
+    denom = la + lb - inter
+    out = np.zeros(m, dtype=np.float64)
+    live = denom > 0
+    out[live] = inter[live] / denom[live]
+    return out
+
+
 def jaccard_dup_pairs(
     ds: "ray.data.Dataset",
     block_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
     tau: float = 0.5,
+    side_col: str | None = None,
+    max_block_records: int | None = None,
 ):
     """All pairs within a block whose unique-token-set Jaccard ≥ tau.
 
     The per-pair kernel is the reference's token-set similarity two-tier
     idea (compare_ldu_ldu.py:28-40) with semantic blocking standing in for
-    "check only those with matching countries" (README.md:245).
-    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp.
+    "check only those with matching countries" (README.md:245) — fully
+    vectorized (one lexsort-merge per partition, no per-pair Python loop).
+
+    ``side_col``: BIPARTITE mode (the reference's cross-table LDU↔HW index,
+    compare_ldu_hw.py:160-162) — only pairs whose side values differ are
+    scored, and the lower side's record is emitted as ``*_a``.
+
+    ``max_block_records``: blocks larger than this are SKIPPED (logged) —
+    an exact-key block is non-discriminative at that size and its O(n²)
+    pair cost belongs to the MinHash/LSH path instead.  None (default)
+    disables the cap, keeping exact SQL-oracle parity.
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b (or side_a < side_b in
+    bipartite mode), jaccard float64 rounded to 6dp.
     """
-    ds = ds.select_columns([id_col, block_col, text_col])
+    cols = [id_col, block_col, text_col] + ([side_col] if side_col else [])
+    ds = ds.select_columns(cols)
 
     def _score(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
         toks = _ws_token_lists(t[text_col])
         df = df.with_columns(toks.list.unique().list.sort().alias("_toks"))
-        pairs = _pairs_within_groups(df, block_col, id_col)
-        if len(pairs) == 0:
-            return pa.table(
-                {
-                    f"{id_col}_a": pa.array([], pa.int64()),
-                    f"{id_col}_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
+        if max_block_records is not None and len(df):
+            big = (
+                df.group_by(block_col)
+                .len()
+                .filter(pl.col("len") > max_block_records)
             )
+            if len(big):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "jaccard_dup_pairs: skipping %d oversized block(s) "
+                    "(> %d records): %s",
+                    len(big),
+                    max_block_records,
+                    big[block_col].to_list()[:10],
+                )
+                df = df.filter(
+                    ~pl.col(block_col).is_in(big[block_col].implode())
+                )
+        pairs = _pairs_within_groups(df, block_col, id_col)
+        empty = pa.table(
+            {
+                f"{id_col}_a": pa.array([], pa.int64()),
+                f"{id_col}_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if len(pairs) == 0:
+            return empty
+        ii, jj = pairs[:, 0], pairs[:, 1]
+        ids = df[id_col].to_numpy()
+        if side_col is not None:
+            sides = df[side_col].to_numpy()
+            cross = sides[ii] != sides[jj]
+            ii, jj = ii[cross], jj[cross]
+            if len(ii) == 0:
+                return empty
+            flip = sides[ii] > sides[jj]  # orient: lower side first
+            ii, jj = np.where(flip, jj, ii), np.where(flip, ii, jj)
         tok_arr = df["_toks"].to_arrow()
         if pa.types.is_large_list(tok_arr.type):
             tok_arr = tok_arr.cast(pa.list_(pa.string()))
         offsets = tok_arr.offsets.to_numpy().astype(np.int64)
         flat = fnv1a_hash_strings(tok_arr.flatten())
-        ids = df[id_col].to_numpy()
-        ja = np.empty(len(pairs), np.float64)
-        for k, (i, j) in enumerate(pairs):
-            a = flat[offsets[i] : offsets[i + 1]]
-            b = flat[offsets[j] : offsets[j + 1]]
-            inter = np.intersect1d(a, b, assume_unique=False).size
-            union = a.size + b.size - inter
-            ja[k] = inter / union if union else 0.0
+        # sort hashes within each row (token strings were sorted; their
+        # hashes are not) so the merge kernel sees sorted-unique segments
+        lens = offsets[1:] - offsets[:-1]
+        parents = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = flat[np.lexsort((flat, parents))]
+        ja = _pair_jaccard_f64(flat, offsets, ii, jj)
         keep = ja >= tau
-        ia, ib = ids[pairs[keep, 0]], ids[pairs[keep, 1]]
-        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        ia, ib = ids[ii[keep]], ids[jj[keep]]
+        if side_col is None:
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
         return pa.table(
             {
-                f"{id_col}_a": pa.array(lo, pa.int64()),
-                f"{id_col}_b": pa.array(hi, pa.int64()),
+                f"{id_col}_a": pa.array(ia, pa.int64()),
+                f"{id_col}_b": pa.array(ib, pa.int64()),
                 "jaccard": pa.array(np.round(ja[keep], 6), pa.float64()),
             }
         )
@@ -274,10 +348,17 @@ def minhash_lsh_dup_pairs(
     )
 
     def _emit_bands(t: pa.Table) -> pa.Table:
+        """Band rows carry a SLIM payload instead of the full 512-byte
+        signature ×bands (the dominant exchange amplification): the 16
+        uint64 band keys (exact lowest-colliding-band ownership) plus a
+        1-byte-per-perm signature fingerprint for the Jaccard estimate —
+        fingerprint-collision bias ≤ 1/256 per perm, an order of magnitude
+        below the 64-perm estimator's own sampling noise."""
         sig = np.asarray(t["minhash"].combine_chunks().flatten()).reshape(
             len(t), minhash.num_perm
         )
         keys = lsh_band_hashes(sig, blocking)  # (n, bands)
+        sig8 = (sig & np.uint64(0xFF)).astype(np.uint8)
         n, b = keys.shape
         n_sh = t["n_shingles"].to_numpy()
         nonempty = np.repeat(n_sh > 0, b)  # empty docs never block with anything
@@ -291,9 +372,13 @@ def minhash_lsh_dup_pairs(
                     (flat_keys % np.uint64(_NUM_PARTS)).astype(np.int32), pa.int32()
                 ),
                 "doc_id": pa.array(np.repeat(t["doc_id"].to_numpy(), b)[nonempty], pa.int64()),
-                "minhash": pa.FixedSizeListArray.from_arrays(
+                "band_keys": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(keys, b, axis=0)[nonempty].reshape(-1), pa.uint64()),
+                    b,
+                ),
+                "sig8": pa.FixedSizeListArray.from_arrays(
                     pa.array(
-                        np.repeat(sig, b, axis=0)[nonempty].reshape(-1), pa.uint64()
+                        np.repeat(sig8, b, axis=0)[nonempty].reshape(-1), pa.uint8()
                     ),
                     minhash.num_perm,
                 ),
@@ -323,15 +408,17 @@ def minhash_lsh_dup_pairs(
         if len(ii) == 0:
             return empty
         ii, jj = order[ii], order[jj]
-        sig = np.asarray(t["minhash"].combine_chunks().flatten()).reshape(
-            len(t), minhash.num_perm
+        # first-colliding-band canonicality from the shipped band keys
+        all_keys = np.asarray(t["band_keys"].combine_chunks().flatten()).reshape(
+            len(t), blocking.bands
         )
-        # first-colliding-band canonicality
-        all_keys = lsh_band_hashes(sig, blocking)
         eq = all_keys[ii] == all_keys[jj]
         first = eq.argmax(axis=1)  # a collision exists (this bucket)
         keep = first == t["band_idx"].to_numpy(zero_copy_only=False)[ii].astype(np.int64)
-        est = (sig[ii] == sig[jj]).mean(axis=1)
+        sig8 = np.asarray(t["sig8"].combine_chunks().flatten()).reshape(
+            len(t), minhash.num_perm
+        )
+        est = (sig8[ii] == sig8[jj]).mean(axis=1)
         ia, ib = ids[ii], ids[jj]
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         keep &= (est >= tau) & (lo != hi)

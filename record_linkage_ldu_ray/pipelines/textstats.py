@@ -202,35 +202,89 @@ def winnowing_fingerprints(
     (rows-only check)."""
 
     def _fp(t: pa.Table) -> pa.Table:
-        texts = t[text_col].combine_chunks()
-        out_fps: list[list[int]] = []
-        for v in texts.to_pylist():
-            if not v or len(v) < k:
-                out_fps.append([])
-                continue
-            b = np.frombuffer(v.encode("utf-8"), np.uint8).astype(np.uint64)
-            if len(b) < k:
-                out_fps.append([])
-                continue
-            # rolling polynomial k-gram hash, vectorized via stride trick
-            m = len(b) - k + 1
-            h = np.zeros(m, np.uint64)
-            with np.errstate(over="ignore"):
-                for i in range(k):
-                    h = h * np.uint64(0x100000001B3) + b[i : i + m]
+        """Vectorized across the WHOLE batch: one rolling-hash pass over the
+        concatenated utf8 buffer, one global sliding-window min, doc-aware
+        masks — no per-document Python loop (the flat-values/offsets scheme
+        used by every other kernel in this engine)."""
+        import pyarrow.compute as pc
+
+        texts = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        texts = pc.fill_null(texts, "")
+        n = len(texts)
+        width = 8 if pa.types.is_large_string(texts.type) else 4
+        odt = np.int64 if width == 8 else np.int32
+        offs = np.frombuffer(
+            texts.buffers()[1], dtype=odt, count=n + 1, offset=texts.offset * width
+        ).astype(np.int64)
+        data = np.frombuffer(texts.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        dlen = offs[1:] - offs[:-1]
+        total = int(dlen.sum())
+
+        # rolling polynomial k-gram hash over the FLAT byte buffer; k-gram
+        # start positions inside doc d live at flat [offs[d], offs[d]+m_d)
+        m_flat = max(total - k + 1, 0)
+        b = data.astype(np.uint64)
+        h = np.zeros(m_flat, np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(k):
+                h = h * np.uint64(0x100000001B3) + b[i : i + m_flat]
             h = splitmix64(h)
-            if m <= window:
-                sel = np.array([h.min()], np.uint64)
-            else:
-                w = np.lib.stride_tricks.sliding_window_view(h, window)
-                sel = w.min(axis=1)
-            out_fps.append(sorted(set(int(x) for x in sel)))
-        fps = pa.array(out_fps, pa.list_(pa.uint64()))
+        m_doc = np.maximum(dlen - k + 1, 0)  # docs shorter than k → none
+
+        sel_vals: list[np.ndarray] = []
+        sel_docs: list[np.ndarray] = []
+        # long docs: window-min per sliding window — ONE global sliding-min
+        # over the flat hash array; windows that stay inside a doc never see
+        # another doc's (or a boundary-straddling) hash
+        wcnt = np.where(m_doc > window, m_doc - window + 1, 0)
+        if m_flat >= window and int(wcnt.sum()):
+            W = np.lib.stride_tricks.sliding_window_view(h, window).min(axis=1)
+            tot_w = int(wcnt.sum())
+            starts = np.cumsum(wcnt) - wcnt
+            flat_idx = np.repeat(offs[:-1], wcnt) + (
+                np.arange(tot_w, dtype=np.int64) - np.repeat(starts, wcnt)
+            )
+            sel_vals.append(W[flat_idx])
+            sel_docs.append(np.repeat(np.arange(n, dtype=np.int64), wcnt))
+        # short docs (1 ≤ m ≤ window): single fingerprint = min over the
+        # doc's k-gram segment — gather the segments contiguously, then one
+        # reduceat gives each doc's min exactly
+        short = np.nonzero((m_doc >= 1) & (m_doc <= window))[0]
+        if len(short):
+            reps = m_doc[short]
+            tot_s = int(reps.sum())
+            sstarts = np.cumsum(reps) - reps
+            sidx = np.repeat(offs[:-1][short], reps) + (
+                np.arange(tot_s, dtype=np.int64) - np.repeat(sstarts, reps)
+            )
+            sel_vals.append(np.minimum.reduceat(h[sidx], sstarts))
+            sel_docs.append(short)
+
+        if sel_vals:
+            vals = np.concatenate(sel_vals)
+            docs = np.concatenate(sel_docs)
+            # per-doc sorted-unique fingerprints
+            order = np.lexsort((vals, docs))
+            vals, docs = vals[order], docs[order]
+            keep = np.ones(len(vals), bool)
+            if len(vals) > 1:
+                keep[1:] = ~((vals[1:] == vals[:-1]) & (docs[1:] == docs[:-1]))
+            vals, docs = vals[keep], docs[keep]
+            counts = np.bincount(docs, minlength=n)
+        else:
+            vals = np.empty(0, np.uint64)
+            counts = np.zeros(n, np.int64)
+        fp_offs = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=fp_offs[1:])
+        fps = pa.LargeListArray.from_arrays(
+            pa.array(fp_offs, pa.int64()), pa.array(vals, pa.uint64())
+        ).cast(pa.list_(pa.uint64()))
         return pa.table(
             {
                 id_col: t[id_col],
                 "fingerprints": fps,
-                "n_fp": pa.array([len(f) for f in out_fps], pa.int64()),
+                "n_fp": pa.array(counts.astype(np.int64), pa.int64()),
             }
         )
 

@@ -38,8 +38,12 @@ def configure_exchange() -> None:
     # cheaper to start than one actor per partition (aggregator pools
     # respawn per dataset execution, so spawn cost recurs per exchange).
     # ~1 aggregator per 4 CPUs measured fastest single-node; grows with
-    # the cluster.
-    ctx.max_hash_shuffle_aggregators = max(8, _cluster_cpus() // 4)
+    # the cluster.  The count must scale WITH the cluster (not a fixed
+    # floor): aggregators run beyond their 0.01-CPU reservation, so a
+    # fixed count hands a small cluster disproportionate hidden capacity —
+    # which both distorts two-cluster-size scaling measurements and would
+    # under-provision a big one.
+    ctx.max_hash_shuffle_aggregators = max(2, _cluster_cpus() // 4)
 
 
 def _cluster_cpus() -> int:
@@ -82,7 +86,7 @@ def partitioned_map(ds, key_cols: list[str], num_partitions: int, fn, **map_kwar
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
     ds.context.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
-    ds.context.max_hash_shuffle_aggregators = max(8, _cluster_cpus() // 4)
+    ds.context.max_hash_shuffle_aggregators = max(2, _cluster_cpus() // 4)
     num_partitions = effective_partitions(num_partitions)
     return ds.repartition(num_partitions, keys=key_cols, sort=False).map_batches(
         fn,

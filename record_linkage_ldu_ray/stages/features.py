@@ -51,7 +51,10 @@ class FeatureExtractor:
     def __init__(self, cfg: PipelineConfig):
         self.cfg = cfg
         self.params = perm_params(cfg.minhash)
-        self.prefix_chars = max(cfg.scoring.jw_text_max_chars, 128)
+        # text_prefix exists ONLY for the JW kernel (capped at
+        # jw_text_max_chars) — storing more would just fatten every block
+        # row through the pair exchange
+        self.prefix_chars = cfg.scoring.jw_text_max_chars
 
     def __call__(self, tbl: pa.Table) -> pa.Table:
         df = pl.from_arrow(tbl.drop_columns(["part"]))
@@ -89,8 +92,10 @@ class FeatureExtractor:
 
         # token hashes + MinHash, vectorized over the whole part
         tokens_arr = out["tokens"].to_arrow()
-        if pa.types.is_large_list(tokens_arr.type):
-            tokens_arr = tokens_arr.cast(pa.list_(pa.string()))
+        if not pa.types.is_large_list(tokens_arr.type):
+            # normalize to int64 offsets — a 32-bit cast here is the
+            # overflow point at 10^12-turn scale
+            tokens_arr = tokens_arr.cast(pa.large_list(pa.string()))
         # null token lists (conv with no tokens at all) → empty lists
         tokens_arr = tokens_arr.fill_null([])
         flat = tokens_arr.flatten()
@@ -103,7 +108,12 @@ class FeatureExtractor:
         )
         order = np.lexsort((h, parents))
         h_sorted = h[order]
-        tok_hashes = pa.ListArray.from_arrays(pa.array(offsets, pa.int64()).cast(pa.int32()), pa.array(h_sorted, pa.uint64()))
+        # int64 offsets (LargeList): a feature partition holding > 2^31
+        # total token hashes — plausible at 10^12-turn scale with 64
+        # partitions — would overflow 32-bit list offsets
+        tok_hashes = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(h_sorted, pa.uint64())
+        )
 
         sig = minhash_segments(h_sorted, offsets, self.params)
         k = self.cfg.minhash.num_perm

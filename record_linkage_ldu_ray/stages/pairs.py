@@ -54,7 +54,10 @@ def _add_block_part(batch: pa.Table, num_parts: int) -> pa.Table:
 
 
 def _enumerate_part(
-    tbl: pa.Table, cfg: PipelineConfig, dropped_keys: np.ndarray | None = None
+    tbl: pa.Table,
+    cfg: PipelineConfig,
+    dropped_keys: np.ndarray | None = None,
+    cross_only: bool = False,
 ) -> pa.Table:
     n = len(tbl)
     bk = tbl["block_key"].to_numpy(zero_copy_only=False)
@@ -70,11 +73,16 @@ def _enumerate_part(
             "cid": pl.from_arrow(conv),
         }
     )
-    j = (
-        df.join(df, on="bk", suffix="_b")
-        .filter(pl.col("cid") < pl.col("cid_b"))
-        .select("idx", "idx_b")
-    )
+    j = df.join(df, on="bk", suffix="_b").filter(pl.col("cid") < pl.col("cid_b"))
+    if cross_only:
+        # bipartite mode (pipelines.linkage): keys carry a 1-char side tag
+        # ('a:' < 'b:'), so cid < cid_b already orients A before B — keep
+        # only pairs whose sides DIFFER (the reference's cross-table index,
+        # compare_ldu_hw.py:160-162)
+        j = j.filter(
+            pl.col("cid").str.slice(0, 1) != pl.col("cid_b").str.slice(0, 1)
+        )
+    j = j.select("idx", "idx_b")
     ia = j["idx"].to_numpy()
     ib = j["idx_b"].to_numpy()
     k = cfg.minhash.num_perm
@@ -165,7 +173,12 @@ def _dropped_key_array(dropped: dict | None) -> np.ndarray | None:
     return np.fromiter(dropped.keys(), dtype=np.int64, count=len(dropped))
 
 
-def generate_pairs(block_rows_ds, cfg: PipelineConfig, dropped: dict | None = None):
+def generate_pairs(
+    block_rows_ds,
+    cfg: PipelineConfig,
+    dropped: dict | None = None,
+    cross_only: bool = False,
+):
     """Block rows → candidate pair rows, each pair exactly once (canonical
     conv_id_a < conv_id_b, lowest-colliding-band dedup — no second
     shuffle)."""
@@ -178,7 +191,7 @@ def generate_pairs(block_rows_ds, cfg: PipelineConfig, dropped: dict | None = No
     dk = _dropped_key_array(dropped)
 
     def _enum(tbl: pa.Table) -> pa.Table:
-        return _enumerate_part(tbl.drop_columns(["bpart"]), cfg, dk)
+        return _enumerate_part(tbl.drop_columns(["bpart"]), cfg, dk, cross_only)
 
     from record_linkage_ldu_ray.runtime import partitioned_map
 
@@ -197,11 +210,17 @@ class EnumerateScorer:
     both FULL tables into every worker (compare_ldu_hw.py:170-177).
     """
 
-    def __init__(self, cfg: PipelineConfig, dropped_keys: np.ndarray | None = None):
+    def __init__(
+        self,
+        cfg: PipelineConfig,
+        dropped_keys: np.ndarray | None = None,
+        cross_only: bool = False,
+    ):
         from record_linkage_ldu_ray.stages.scoring import PairScorer
 
         self.cfg = cfg
         self.dropped_keys = dropped_keys
+        self.cross_only = cross_only
         self.scorer = PairScorer(cfg)
         self.batch = cfg.scorer_batch_size
 
@@ -210,7 +229,7 @@ class EnumerateScorer:
 
         if "bpart" in tbl.column_names:
             tbl = tbl.drop_columns(["bpart"])
-        pair_tbl = _enumerate_part(tbl, self.cfg, self.dropped_keys)
+        pair_tbl = _enumerate_part(tbl, self.cfg, self.dropped_keys, self.cross_only)
         if len(pair_tbl) == 0:
             cols = {
                 "conv_id_a": pa.array([], pa.string()),
@@ -225,7 +244,12 @@ class EnumerateScorer:
         return pa.concat_tables(outs)
 
 
-def enumerate_and_score(block_rows_ds, cfg: PipelineConfig, dropped: dict | None = None):
+def enumerate_and_score(
+    block_rows_ds,
+    cfg: PipelineConfig,
+    dropped: dict | None = None,
+    cross_only: bool = False,
+):
     """Block rows → score rows in ONE exchange (see EnumerateScorer).
 
     Default (``scorer_concurrency=None``): task-based execution — the
@@ -246,14 +270,14 @@ def enumerate_and_score(block_rows_ds, cfg: PipelineConfig, dropped: dict | None
     )
     dk = _dropped_key_array(dropped)
     if cfg.scorer_concurrency is None:
-        scorer = EnumerateScorer(cfg, dk)
+        scorer = EnumerateScorer(cfg, dk, cross_only)
         return partitioned_map(ds, ["bpart"], cfg.pair_partitions, scorer)
     return partitioned_map(
         ds,
         ["bpart"],
         cfg.pair_partitions,
         EnumerateScorer,
-        fn_constructor_args=(cfg, dk),
+        fn_constructor_args=(cfg, dk, cross_only),
         concurrency=cfg.scorer_concurrency,
         num_cpus=1,
     )
