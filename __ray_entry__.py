@@ -185,6 +185,35 @@ def _q_lsh_ann_topk(sf_dir: str):
     return lsh_topk(ds, qmat, qids, k=10, n_bits=6)
 
 
+def _q_ivf_ann_topk(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.ann import (
+        ivf_topk,
+        kmeans_centroids,
+        load_queries,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(ds, n_cells=16)
+    qmat, qids = load_queries(ds, num_queries=8)
+    return ivf_topk(ds, qmat, qids, cents, k=10, nprobe=4)
+
+
+def _q_embedding_dup_pairs_ivf(sf_dir: str):
+    """Embedding near-dup with the ENGINE-trained coarse quantizer as the
+    blocking column (no pre-existing label needed — the 100 TB path)."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.ann import assign_cells, kmeans_centroids
+    from record_linkage_ldu_ray.pipelines.docdedup import embedding_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(ds, n_cells=16)
+    with_cells = assign_cells(ds, cents)
+    return embedding_dup_pairs(with_cells, tau=0.4, block_col="cell")
+
+
 def _q_payload_metadata(sf_dir: str):
     import ray.data
 
@@ -373,6 +402,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "embedding_dup_pairs_ivf": _q_embedding_dup_pairs_ivf,
         # per-record kernels (M18 merge, M7/M8 canonicalize, M19 turn dedup)
         "dedup_turns": _q_dedup_turns,
         "merge_role_tool": _q_merge_role_tool,

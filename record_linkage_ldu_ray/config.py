@@ -128,6 +128,28 @@ class ScoringConfig:
     # prefix (the normalized text is token-sorted so prefixes are stable).
     # 64 = the bit-parallel batch kernel's word width (functions/sim.py).
     jw_text_max_chars: int = 64
+    # per-feature string-similarity kernel (functions/sim.py STRING_KERNELS
+    # registry) — the analog of the reference's ``compare_method`` dispatch
+    # dict (compare_ldu_hw.py:66-76: ratcliff_obershelp for long fields,
+    # normalized Levenshtein for short ones).
+    string_kernels: dict[str, str] = field(
+        default_factory=lambda: {
+            "jw_text": "jaro_winkler",
+            "jw_role": "jaro_winkler",
+            "jw_tool": "jaro_winkler",
+        }
+    )
+    # per-feature comparison map: LEFT column + the right-side VARIANT
+    # columns folded by elementwise max — the reference's many-to-one field
+    # map (compare_ldu_hw.py:27-48) with its variant max-fold
+    # (phone = max(phone, phone2, phone3), compare_ldu_hw.py:51-59).
+    compare_map: dict[str, tuple[str, ...]] = field(
+        default_factory=lambda: {
+            "jw_text": ("text_prefix",),
+            "jw_role": ("role_seq",),
+            "jw_tool": ("tool_seq",),
+        }
+    )
     # MinHash-estimate floor below which no decision mask can fire (score
     # bound < score_mid and jac bound < jac_text_mid): pairs under it skip
     # the expensive kernels AND travel without their heavy feature payload

@@ -465,3 +465,38 @@ def simhash_hamming_sim(h1: int, h2: int) -> float:
 
 def exp_decay(x: float, tau: float) -> float:
     return math.exp(-abs(x) / tau)
+
+
+def _scalar_string_batch(scalar_fn):
+    """Adapt a scalar string-similarity kernel to the batch-over-Arrow
+    signature the scorer dispatches on.  These kernels are O(L²) per pair
+    in Python — selectable for parity with the reference's dispatch table
+    (compare_ldu_hw.py:66-76), but the vectorized Jaro-Winkler is the
+    default hot path."""
+
+    def run(arr_a, arr_b, max_len: int = 64) -> np.ndarray:
+        la = arr_a.to_pylist()
+        lb = arr_b.to_pylist()
+        return np.array(
+            [
+                scalar_fn((x or "")[:max_len], (y or "")[:max_len])
+                for x, y in zip(la, lb)
+            ],
+            dtype=np.float32,
+        )
+
+    return run
+
+
+# §2.11 extension surface: the reference selects a similarity algorithm per
+# field via a module-level dict (``compare_method``, compare_ldu_hw.py:66-76
+# — textdistance ratcliff_obershelp for long fields, normalized Levenshtein
+# for short ones).  ScoringConfig.string_kernels selects per feature from
+# this registry; every kernel takes (arrow string array, arrow string
+# array, max_len) and returns float32 scores in [0, 1].
+STRING_KERNELS = {
+    "jaro_winkler": jaro_winkler_batch_arrow,
+    "ratcliff_obershelp": _scalar_string_batch(ratcliff_obershelp),
+    "levenshtein": _scalar_string_batch(levenshtein_normalized),
+    "ngram_jaccard": _scalar_string_batch(ngram_jaccard),
+}

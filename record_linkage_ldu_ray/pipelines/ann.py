@@ -126,6 +126,149 @@ def load_queries(
     return mat, ids
 
 
+def kmeans_centroids(
+    ds: "ray.data.Dataset",
+    n_cells: int = 16,
+    sample_size: int = 2048,
+    n_iter: int = 10,
+    seed: int = 0xC0FFEE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Trained coarse quantizer: spherical k-means on a deterministic
+    sample (first ``sample_size`` ids), fixed seeded init + fixed iteration
+    count — byte-identical centroids at any parallelism.  The sample is a
+    tiny filtered read; Lloyd iterations run driver-side on (S, d) numpy.
+    At 100 TB the sample stays O(sample_size), not O(corpus)."""
+    t = (
+        ds.filter(expr=f"{id_col} < {sample_size}")
+        .select_columns([id_col, vec_col])
+        .to_arrow_refs()
+    )
+    tables = [x for r in t if len(x := ray.get(r))]
+    if not tables:
+        raise ValueError("kmeans_centroids: no sample rows matched")
+    tbl = pa.concat_tables(tables)
+    order = np.argsort(tbl[id_col].to_numpy())  # block order → id order
+    mat = _unit_rows(_as_matrix(tbl[vec_col], len(tbl)))[order]
+    rng = np.random.default_rng(seed)
+    k_eff = min(n_cells, len(mat))
+    init = np.sort(rng.choice(len(mat), size=k_eff, replace=False))
+    cents = mat[init].copy()
+    for _ in range(n_iter):
+        assign = (mat @ cents.T).argmax(axis=1)
+        for c in range(k_eff):
+            members = mat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def assign_cells(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> "ray.data.Dataset":
+    """Append the IVF cell id (nearest centroid by cosine) — the engine-made
+    blocking column for ``embedding_dup_pairs`` / IVF search.  Centroids
+    broadcast once via ``ray.put``."""
+    ref = ray.put(np.asarray(centroids, np.float64))
+
+    def _f(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(cell_col, pa.array([], pa.int32()))
+        cents = ray.get(ref)
+        mat = _unit_rows(_as_matrix(t[vec_col], len(t)))
+        cell = (mat @ cents.T).argmax(axis=1).astype(np.int32)
+        return t.append_column(cell_col, pa.array(cell, pa.int32()))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ivf_topk(
+    ds: "ray.data.Dataset",
+    query_vectors: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """IVF approximate top-k: each query probes its ``nprobe`` nearest
+    cells; every corpus batch scores only rows whose cell is probed by some
+    query.  Same output shape as ``brute_force_topk`` (approximate)."""
+    qmat = _unit_rows(np.asarray(query_vectors, np.float64))
+    cents = np.asarray(centroids, np.float64)
+    np_eff = min(nprobe, len(cents))
+    # (Q, nprobe) probed cell ids per query
+    qsim = qmat @ cents.T
+    probed = np.argsort(-qsim, axis=1)[:, :np_eff]
+    state = ray.put((qmat, probed, cents))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty_candidates(id_col)
+        q, prb, C = ray.get(state)
+        ids = t[id_col].to_numpy()
+        mat = _unit_rows(_as_matrix(t[vec_col], len(t)))
+        cells = (mat @ C.T).argmax(axis=1)
+        any_probed = np.isin(cells, prb.ravel())
+        if not any_probed.any():
+            return _empty_candidates(id_col)
+        sub, sids, scells = mat[any_probed], ids[any_probed], cells[any_probed]
+        out_q, out_v, out_c = [], [], []
+        for j in range(q.shape[0]):
+            bm = np.isin(scells, prb[j])
+            if not bm.any():
+                continue
+            cos = sub[bm] @ q[j]
+            vids = sids[bm]
+            kk = min(k, len(cos))
+            top = np.argpartition(-cos, kk - 1)[:kk] if kk < len(cos) else np.arange(len(cos))
+            out_q.extend([j] * len(top))
+            out_v.extend(vids[top].tolist())
+            out_c.extend(cos[top].tolist())
+        return pa.table(
+            {
+                "qidx": pa.array(out_q, pa.int32()),
+                id_col: pa.array(out_v, pa.int64()),
+                "cos_sim": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    cand = ds.select_columns([id_col, vec_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_arrow_refs()
+    tables = [x for r in cand if len(x := ray.get(r))]
+    out_q, out_v, out_c, out_r = [], [], [], []
+    if tables:
+        merged = pa.concat_tables(tables)
+        qi = merged["qidx"].to_numpy()
+        vid = merged[id_col].to_numpy()
+        cs = merged["cos_sim"].to_numpy()
+        for j in range(len(query_ids)):
+            m = qi == j
+            best = heapq.nsmallest(k, zip(-cs[m], vid[m]))
+            for rank, (negc, v) in enumerate(best, 1):
+                out_q.append(int(query_ids[j]))
+                out_v.append(int(v))
+                out_c.append(round(-negc, 6))
+                out_r.append(rank)
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_v, pa.int64()),
+            "cos_sim": pa.array(out_c, pa.float64()),
+            "rank": pa.array(out_r, pa.int32()),
+        }
+    )
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_bits, dim))
@@ -145,37 +288,45 @@ def lsh_topk(
     query_ids: np.ndarray,
     k: int = 10,
     n_bits: int = 8,
+    probe_hamming: int = 1,
     seed: int = 0xA11CE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> pa.Table:
-    """Approximate top-k: random-hyperplane LSH buckets; each corpus batch
-    scores only rows whose sign-key matches some query's key.  Same output
-    shape as ``brute_force_topk`` (may differ in members — approximate)."""
+    """Approximate top-k: random-hyperplane LSH buckets with MULTIPROBE —
+    each corpus batch scores rows whose sign-key is within ``probe_hamming``
+    bits of some query's key (a near-boundary vector flips a plane sign;
+    exact-bucket matching alone loses it).  Same output shape as
+    ``brute_force_topk`` (may differ in members — approximate)."""
     qmat = _unit_rows(np.asarray(query_vectors, np.float64))
     planes = _hyperplanes(qmat.shape[1], n_bits, seed)
     qkeys = _sign_keys(qmat, planes)
     state = ray.put((qmat, qkeys, planes))
 
+    def _popcount(x: np.ndarray) -> np.ndarray:
+        out = np.zeros(x.shape, np.int32)
+        for b in range(n_bits):
+            out += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int32)
+        return out
+
     def _partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return _empty_candidates(id_col)
         q, qk, pl_ = ray.get(state)
         ids = t[id_col].to_numpy()
         mat = _unit_rows(_as_matrix(t[vec_col], len(t)))
         keys = _sign_keys(mat, pl_)
-        mask = np.isin(keys, qk)
-        empty = pa.table(
-            {
-                "qidx": pa.array([], pa.int32()),
-                id_col: pa.array([], pa.int64()),
-                "cos_sim": pa.array([], pa.float64()),
-            }
-        )
+        # (n, Q) probe matrix: key within probe_hamming of the query key
+        ham = _popcount(keys[:, None] ^ qk[None, :])
+        probe = ham <= probe_hamming
+        mask = probe.any(axis=1)
+        empty = _empty_candidates(id_col)
         if not mask.any():
             return empty
-        sub, sids, skeys = mat[mask], ids[mask], keys[mask]
+        sub, sids, sprobe = mat[mask], ids[mask], probe[mask]
         out_q, out_v, out_c = [], [], []
         for j in range(q.shape[0]):
-            bm = skeys == qk[j]
+            bm = sprobe[:, j]
             if not bm.any():
                 continue
             cos = sub[bm] @ q[j]

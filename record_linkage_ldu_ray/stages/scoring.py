@@ -30,9 +30,9 @@ import pyarrow as pa
 
 from record_linkage_ldu_ray.config import PipelineConfig
 from record_linkage_ldu_ray.functions.sim import (
+    STRING_KERNELS,
     gather_list_segments,
     jaccard_sorted_u64_batch,
-    jaro_winkler_batch_arrow,
     minmax_ratio,
 )
 
@@ -61,31 +61,50 @@ class PairScorer:
         self.k = cfg.minhash.num_perm
         self.jw_max = cfg.scoring.jw_text_max_chars
         self.tau = cfg.scoring.ts_tau_seconds
+        # §2.11 registry dispatch + J3/P2 comparison map, resolved ONCE per
+        # actor: feature → batch kernel, feature → (left, *right variants)
+        self.kernels = {
+            f: STRING_KERNELS[name] for f, name in cfg.scoring.string_kernels.items()
+        }
+        self.cmap = cfg.scoring.compare_map
         # MinHash-estimate floor below which no mask can fire (see module
         # docstring); shared with pair enumeration, which nulls the heavy
         # feature payload of gated-out pairs.  Validated against the rule
         # thresholds — falls back to 0 (no gating) if the invariant breaks.
         self.est_floor = cfg.effective_est_floor()
 
-    @staticmethod
-    def _jw_gated(batch: pa.Table, col: str, take_idx: pa.Array, max_len: int) -> np.ndarray:
-        """Batched Jaro-Winkler on the gated subset, fed straight from the
-        Arrow columns (no Python string lists); missing-either → 0
-        (README.md:169 missing-field rule).  Per-column calls (rather than
-        one stacked call) keep short columns (role/tool sequences) at their
-        own shorter iteration count in the O(L) bit-parallel loop."""
+    def _string_gated(self, batch: pa.Table, feat: str, take_idx: pa.Array) -> np.ndarray:
+        """Batched string similarity for one feature on the gated subset,
+        fed straight from the Arrow columns (no Python string lists).
+
+        Implements the reference's comparison-map semantics: the feature's
+        LEFT column compares against EVERY right-side variant column and
+        the scores fold by elementwise max (phone = max(phone, phone2,
+        phone3), compare_ldu_hw.py:51-59); missing-either → 0 per variant
+        (README.md:169), so a missing variant simply never wins the fold.
+        Per-feature calls (rather than one stacked call) keep short columns
+        at their own shorter iteration count in the O(L) bit-parallel loop."""
         import pyarrow.compute as pc
 
-        a = batch[f"{col}_a"].combine_chunks() if isinstance(batch[f"{col}_a"], pa.ChunkedArray) else batch[f"{col}_a"]
-        b = batch[f"{col}_b"].combine_chunks() if isinstance(batch[f"{col}_b"], pa.ChunkedArray) else batch[f"{col}_b"]
-        ga = a.take(take_idx)
-        gb = b.take(take_idx)
-        out = jaro_winkler_batch_arrow(ga, gb, max_len=min(max_len, 64))
-        # missing-either → 0: null or empty string on either side
+        def _gated(col: str) -> pa.Array:
+            c = batch[col]
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            return c.take(take_idx)
+
+        kern = self.kernels[feat]
+        variants = self.cmap[feat]
+        max_len = min(self.jw_max, 64) if feat == "jw_text" else 64
+        ga = _gated(f"{variants[0]}_a")
         la = pc.utf8_length(pc.fill_null(ga, "")).to_numpy(zero_copy_only=False)
-        lb = pc.utf8_length(pc.fill_null(gb, "")).to_numpy(zero_copy_only=False)
-        both = (la > 0) & (lb > 0)
-        return np.where(both, out, np.float32(0.0)).astype(np.float32)
+        best: np.ndarray | None = None
+        for v in variants:
+            gb = _gated(f"{v}_b")
+            out = kern(ga, gb, max_len=max_len)
+            lb = pc.utf8_length(pc.fill_null(gb, "")).to_numpy(zero_copy_only=False)
+            s = np.where((la > 0) & (lb > 0), out, np.float32(0.0)).astype(np.float32)
+            best = s if best is None else np.maximum(best, s)
+        return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -126,9 +145,9 @@ class PairScorer:
             gb_vals, gb_off = gather_list_segments(val_b, off_b, active)
             jac[active] = jaccard_sorted_u64_batch(ga_vals, ga_off, gb_vals, gb_off)
             take_idx = pa.array(active, pa.int64())
-            jw_t[active] = self._jw_gated(batch, "text_prefix", take_idx, self.jw_max)
-            jw_r[active] = self._jw_gated(batch, "role_seq", take_idx, 64)
-            jw_o[active] = self._jw_gated(batch, "tool_seq", take_idx, 64)
+            jw_t[active] = self._string_gated(batch, "jw_text", take_idx)
+            jw_r[active] = self._string_gated(batch, "jw_role", take_idx)
+            jw_o[active] = self._string_gated(batch, "jw_tool", take_idx)
         cols["jac_text"] = jac
         cols["jw_text"] = jw_t
         cols["jw_role"] = jw_r

@@ -1,0 +1,128 @@
+"""§2.11 similarity-registry dispatch + J3/P2 comparison-map tests.
+
+The reference selects a similarity algorithm per field via a dict
+(``compare_method``, compare_ldu_hw.py:66-76) and folds field variants by
+max (phone = max(phone, phone2, phone3), compare_ldu_hw.py:51-59).  Here
+``ScoringConfig.string_kernels`` / ``compare_map`` carry the same surface;
+these tests swap kernels and fold variants through the real PairScorer.
+"""
+
+import numpy as np
+import pyarrow as pa
+
+from record_linkage_ldu_ray.config import PipelineConfig, ScoringConfig
+from record_linkage_ldu_ray.functions.sim import (
+    STRING_KERNELS,
+    jaro_winkler,
+    levenshtein_normalized,
+    ratcliff_obershelp,
+)
+from record_linkage_ldu_ray.stages.scoring import PairScorer
+
+
+def _pair_batch(texts_a, texts_b, roles_a=None, roles_b=None, tools_a=None, tools_b=None):
+    n = len(texts_a)
+    tok = pa.array([[1, 2, 3]] * n, pa.list_(pa.uint64()))
+    mk = lambda v, d: pa.array(v if v is not None else [d] * n)  # noqa: E731
+    return pa.table(
+        {
+            "conv_id_a": pa.array([f"x{i}" for i in range(n)]),
+            "conv_id_b": pa.array([f"y{i}" for i in range(n)]),
+            "n_turns_a": pa.array([3] * n, pa.int32()),
+            "n_turns_b": pa.array([3] * n, pa.int32()),
+            "ts_min_a": pa.array([1_000_000] * n, pa.timestamp("us")),
+            "ts_min_b": pa.array([1_000_000] * n, pa.timestamp("us")),
+            "text_prefix_a": pa.array(texts_a),
+            "text_prefix_b": pa.array(texts_b),
+            "role_seq_a": mk(roles_a, "uau"),
+            "role_seq_b": mk(roles_b, "uau"),
+            "tool_seq_a": mk(tools_a, "search"),
+            "tool_seq_b": mk(tools_b, "search"),
+            "tok_hashes_a": tok,
+            "tok_hashes_b": tok,
+            "minhash_est": pa.array([0.9] * n, pa.float32()),
+        }
+    )
+
+
+class TestKernelRegistry:
+    def test_registry_kernels_match_scalars(self):
+        a = ["martha stewart", "abcdef", ""]
+        b = ["marhta stewart", "abcxef", "zz"]
+        for name, scalar in (
+            ("jaro_winkler", jaro_winkler),
+            ("ratcliff_obershelp", ratcliff_obershelp),
+            ("levenshtein", levenshtein_normalized),
+        ):
+            got = STRING_KERNELS[name](pa.array(a), pa.array(b), max_len=64)
+            exp = np.array([scalar(x, y) for x, y in zip(a, b)], dtype=np.float32)
+            assert np.allclose(got, exp, atol=1e-6), name
+
+    def test_scorer_dispatches_selected_kernel(self):
+        texts_a = ["alpha beta gamma", "delta epsilon"]
+        texts_b = ["alpha beta gamme", "zeta eta"]
+        cfg = PipelineConfig(
+            scoring=ScoringConfig(
+                string_kernels={
+                    "jw_text": "ratcliff_obershelp",
+                    "jw_role": "jaro_winkler",
+                    "jw_tool": "levenshtein",
+                }
+            )
+        )
+        out = PairScorer(cfg)(_pair_batch(texts_a, texts_b))
+        exp = [ratcliff_obershelp(a, b) for a, b in zip(texts_a, texts_b)]
+        assert np.allclose(out["jw_text"].to_numpy(), exp, atol=1e-6)
+        # tool_seq identical both sides → levenshtein 1.0
+        assert np.allclose(out["jw_tool"].to_numpy(), 1.0)
+
+    def test_variant_max_fold(self):
+        """compare_ldu_hw.py:51-59 semantics: jw_tool compares tool_seq_a
+        against BOTH tool_seq_b and role_seq_b, keeping the max."""
+        cfg = PipelineConfig(
+            scoring=ScoringConfig(
+                compare_map={
+                    "jw_text": ("text_prefix",),
+                    "jw_role": ("role_seq",),
+                    "jw_tool": ("tool_seq", "role_seq"),
+                }
+            )
+        )
+        batch = _pair_batch(
+            ["aa"], ["aa"],
+            tools_a=["browser"], tools_b=["python"], roles_b=["browsex"],
+        )
+        out = PairScorer(cfg)(batch)
+        v1 = jaro_winkler("browser", "python")
+        v2 = jaro_winkler("browser", "browsex")
+        assert np.isclose(out["jw_tool"][0].as_py(), max(v1, v2), atol=1e-6)
+
+    def test_missing_variant_never_wins(self):
+        cfg = PipelineConfig(
+            scoring=ScoringConfig(
+                compare_map={
+                    "jw_text": ("text_prefix",),
+                    "jw_role": ("role_seq",),
+                    "jw_tool": ("tool_seq", "role_seq"),
+                }
+            )
+        )
+        batch = _pair_batch(
+            ["aa"], ["aa"], tools_a=["browser"], tools_b=[""], roles_b=["browser"]
+        )
+        out = PairScorer(cfg)(batch)
+        # empty tool variant scores 0; role variant (exact match) wins
+        assert np.isclose(out["jw_tool"][0].as_py(), 1.0)
+
+    def test_config_hash_tracks_registry(self):
+        base = PipelineConfig()
+        swapped = PipelineConfig(
+            scoring=ScoringConfig(
+                string_kernels={
+                    "jw_text": "ratcliff_obershelp",
+                    "jw_role": "jaro_winkler",
+                    "jw_tool": "jaro_winkler",
+                }
+            )
+        )
+        assert base.config_hash() != swapped.config_hash()
