@@ -269,13 +269,27 @@ def _jw_core(
 
     usedB = np.zeros(n, dtype=np.uint64)
     gotT = np.zeros((Lmax, n), dtype=bool)  # did A-position i match?
-    rng_n = np.arange(n)
     AidT = np.ascontiguousarray(Aid.T)  # contiguous per-iteration rows
+    # in-place loop body over preallocated scratch — fresh numpy temporaries
+    # per op would cost allocation + page-zero DRAM traffic every iteration,
+    # which is what limits many-core scaling of this kernel
+    rowbase = np.arange(n, dtype=np.intp) * K
+    idx = np.empty(n, dtype=np.intp)
+    cand = np.empty(n, dtype=np.uint64)
+    tmp = np.empty(n, dtype=np.uint64)
+    bit = np.empty(n, dtype=np.uint64)
+    PMB_flat = PMB.reshape(-1)
+    ZERO = np.zeros(n, dtype=np.uint64)
     for i in range(Lmax):
-        cand = PMB[rng_n, AidT[i]] & (WT[i] & ~usedB)
-        bit = cand & (np.uint64(0) - cand)  # lowest set bit
-        usedB |= bit
-        gotT[i] = bit != np.uint64(0)
+        np.add(rowbase, AidT[i], out=idx)
+        np.take(PMB_flat, idx, out=cand)
+        np.invert(usedB, out=tmp)
+        np.bitwise_and(tmp, WT[i], out=tmp)
+        np.bitwise_and(cand, tmp, out=cand)
+        np.subtract(ZERO, cand, out=tmp)  # two's complement: isolate low bit
+        np.bitwise_and(cand, tmp, out=bit)
+        np.bitwise_or(usedB, bit, out=usedB)
+        np.not_equal(bit, 0, out=gotT[i])
 
     matched = gotT.T  # (n, Lmax)
     m = matched.sum(axis=1)
