@@ -268,6 +268,12 @@ def _q_user_event_features(sf_dir: str):
     return user_event_features(sf_dir)
 
 
+def _q_sessionize_events(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import sessionize_events
+
+    return sessionize_events(sf_dir, gap_minutes=30)
+
+
 def _q_dedup_turns(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
     from record_linkage_ldu_ray.stages.turndedup import dedup_turns
@@ -387,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": _q_orders_by_segment,
         "top_orders": _q_top_orders,
         "user_event_features": _q_user_event_features,
+        "sessionize_events": _q_sessionize_events,
         # dedup suite
         "exact_dedup": _q_exact_dedup,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
@@ -458,6 +465,24 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS ts_min, max(ts) AS ts_max,
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq
             FROM events GROUP BY user_id
+        """,
+        "sessionize_events": """
+            WITH o AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts,
+                     SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+              FROM o)
+            SELECT user_id, CAST(session_idx AS INTEGER) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS ts_start, max(ts) AS ts_end
+            FROM s GROUP BY user_id, session_idx
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text

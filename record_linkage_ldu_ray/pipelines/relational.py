@@ -221,6 +221,64 @@ def user_event_features(sf_dir: str, num_parts: int = 32):
     )
 
 
+def sessionize_events(sf_dir: str, gap_minutes: int = 30, num_parts: int = 32):
+    """Windowed aggregate over an event stream: per-user sessionization by
+    inactivity gap — the streaming-window operator a training-data pipeline
+    needs for behavioral features.
+
+    Semantics: events of one user, ordered by (ts, event_id), start a new
+    session whenever the gap to the previous event exceeds ``gap_minutes``;
+    sessions are numbered 1.. per user.  Distributed as the A1 pattern:
+    hash-partition by user (all of a user's events co-locate), ONE
+    vectorized polars pass per partition — shift/cum_sum inside the
+    partition, never a driver-side loop.
+
+    Output: (user_id, session_idx:int32, n_events:int64, ts_start, ts_end).
+    SQL-oracle-expressible via lag() + running sum (see __ray_entry__).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"]
+    )
+
+    def _part(t: pa.Table) -> pa.Table:
+        h = fnv1a_hash_strings(t["user_id"].cast(pa.string()))
+        return t.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _sess(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        df = df.sort(["user_id", "ts", "event_id"])
+        df = df.with_columns(
+            (
+                (pl.col("ts") - pl.col("ts").shift(1).over("user_id"))
+                > pl.duration(minutes=gap_minutes)
+            )
+            .fill_null(True)
+            .cast(pl.Int32)
+            .alias("_brk")
+        ).with_columns(pl.col("_brk").cum_sum().over("user_id").alias("session_idx"))
+        out = (
+            df.group_by(["user_id", "session_idx"], maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                pl.col("ts").min().alias("ts_start"),
+                pl.col("ts").max().alias("ts_end"),
+            )
+            .sort(["user_id", "session_idx"])
+        )
+        return out.with_columns(pl.col("session_idx").cast(pl.Int32)).to_arrow()
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(
+        ds.map_batches(_part, batch_format="pyarrow", zero_copy_batch=True),
+        ["part"],
+        num_parts,
+        _sess,
+    )
+
+
 # ---------------------------------------------------------------------------
 # transcripts derived from the documents table (deterministic graft input)
 

@@ -192,9 +192,21 @@ def emit_block_rows(
     hot: dict[int, int],
     dropped: dict[int, int] | None = None,
 ):
+    """Pass B as a map_batches stage; the hot/dropped key tables are
+    broadcast ONCE via ``ray.put`` and fetched per task from the local
+    object store — not pickled into every task's serialized closure (the
+    engine's own broadcast-once rule; they are bounded but a degenerate
+    corpus can make them non-trivial)."""
+    import ray
+
+    tables_ref = ray.put((hot, dropped))
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        h, d = ray.get(tables_ref)
+        return _emit_block_rows(batch, cfg, h, d)
+
     return features_ds.map_batches(
-        _emit_block_rows,
+        _emit,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        fn_kwargs={"cfg": cfg, "hot": hot, "dropped": dropped},
     )
