@@ -278,14 +278,15 @@ def _scaling(sf_dir: str, lo: int, hi: int, reps: int = 3) -> None:
     results = {}
     stage_best = {lo: None, hi: None}
     stage_all = {lo: [], hi: []}
-    # repeat legs weighted toward the HIGH level: a high-parallelism leg
-    # needs all its cores free at once, so external-load troughs depress it
-    # far more often than the low leg (observed spreads: lo ±15%, hi ±45%)
+    # evenly alternating repeat legs (reps per level): external tenant load
+    # on this shared node depresses WHICHEVER legs coincide with it (a full
+    # factor of 2 between runs an hour apart was observed, in both
+    # directions), so both levels need several samples and the efficiency
+    # is computed from each level's best
     schedule = [(lo, False), (hi, False)]
-    for r in range(reps - 1):
+    for _ in range(reps - 1):
         schedule.append((hi, True))
-        if r % 2 == 1:
-            schedule.append((lo, True))
+        schedule.append((lo, True))
     for n, stage_only in schedule:
         leg = _run_leg(sf_dir, n, stage_only=stage_only)
         if not stage_only:
