@@ -136,6 +136,41 @@ def merge_columns(a, b, sep: str = " ") -> pa.Array:
     return pc.if_else(both, joined, either)
 
 
+# §2.11 per-field normalizer registry — the reference picks a normalizer
+# per column in its apply sweep (pre_processing.py:176-213: name/address
+# sorted, email unsorted, phone/zip digits-only).  ``normalize_columns``
+# applies a {column → registry name} plan in ONE batch UDF.
+def _registry_identity(arr, cfg):
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
+NORMALIZERS = {
+    "text_sorted": lambda arr, cfg: normalize_text(
+        arr, __import__("dataclasses").replace(cfg, sort_tokens=True)
+    ),
+    "text_unsorted": lambda arr, cfg: normalize_text(
+        arr, __import__("dataclasses").replace(cfg, sort_tokens=False)
+    ),
+    "digits": lambda arr, cfg: extract_digits(arr),
+    "strip_float": lambda arr, cfg: strip_float_suffix(arr),
+    "identity": _registry_identity,
+}
+
+
+def normalize_columns(ds, plan: dict[str, str], cfg: NormalizerConfig = NormalizerConfig(), suffix: str = "_norm"):
+    """Apply a per-column normalizer plan to a Dataset: each ``col`` in
+    ``plan`` gains ``<col><suffix>`` = ``NORMALIZERS[plan[col]]`` applied
+    vectorized; originals pass through untouched (the reference keeps raw
+    beside processed, pre_processing.py:172-173)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        for col, name in plan.items():
+            t = t.append_column(f"{col}{suffix}", NORMALIZERS[name](t[col], cfg))
+        return t
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def canonicalize_lookup(arr, mapping: dict[str, str]) -> pa.Array:
     """M7/M8 ``fix_state``/``fix_country`` analog (pre_processing.py:32-45):
     map values through a canonicalization table, PASS-THROUGH on miss,

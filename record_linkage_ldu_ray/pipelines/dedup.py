@@ -96,8 +96,11 @@ def dedup_transcripts(
     elif workdir is None:
         # streaming mode: features feed two consumers (hot-key count + block
         # emission); pin the (much smaller than input) feature table in the
-        # object store instead of recomputing its lineage twice.
+        # object store instead of recomputing its lineage twice.  The pinned
+        # bytes are surfaced as a counter so a 100× run can see what it is
+        # asking the object store to hold (checkpoint mode avoids pinning).
         features = features.materialize()
+        metrics["features_pinned_bytes"] = features.size_bytes()
 
     # S3 pass A is a driver-visible aggregate by design (hot keys are few)
     hot, dropped = hot_key_table(features, cfg)
@@ -125,6 +128,7 @@ def dedup_transcripts(
         # full 10^12-turn scale use workdir checkpointing instead (scores
         # stream back from Parquet).
         scores = scores.materialize()
+        metrics["scores_pinned_bytes"] = scores.size_bytes()
 
     matches, man = _maybe_checkpoint(
         "matches",

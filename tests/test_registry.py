@@ -114,6 +114,34 @@ class TestKernelRegistry:
         # empty tool variant scores 0; role variant (exact match) wins
         assert np.isclose(out["jw_tool"][0].as_py(), 1.0)
 
+    def test_normalizer_plan(self, ray_session):
+        """Per-field normalizer registry (pre_processing.py:176-213 sweep
+        with per-field choice: sorted for names, unsorted for emails,
+        digits for phones)."""
+        import ray.data
+
+        from record_linkage_ldu_ray.functions.text import normalize_columns
+
+        t = pa.table(
+            {
+                "name": ["Beta Alpha! Corp", None],
+                "email": ["Zoe@Ex.com and alpha", "b b"],
+                "phone": ["+1 (555) 123-4567", "x"],
+            }
+        )
+        out = (
+            normalize_columns(
+                ray.data.from_arrow(t),
+                {"name": "text_sorted", "email": "text_unsorted", "phone": "digits"},
+            )
+            .to_pandas()
+            .sort_values("phone_norm", na_position="first")
+        )
+        row = out[out["phone_norm"] == "15551234567"].iloc[0]
+        assert row["name_norm"] == "alpha beta corp"
+        assert row["email_norm"] == "zoe ex com alpha"  # 'and' is a stopword; order kept
+        assert out["name_norm"].isna().sum() == 1  # null stays null
+
     def test_config_hash_tracks_registry(self):
         base = PipelineConfig()
         swapped = PipelineConfig(
