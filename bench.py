@@ -89,7 +89,7 @@ def run_flagship(sf_dir: str) -> dict:
     }
 
 
-def run_scoring_stage(sf_dir: str) -> dict:
+def run_scoring_stage(sf_dir: str, mult: float = 1.0) -> dict:
     """Per-stage scaling probe: time ONLY the fused enumerate+score exchange
     (the north-rule metric is candidate-pair SCORING throughput).  Input
     prep — normalize, features, blocking key emission — runs untimed and the
@@ -105,8 +105,14 @@ def run_scoring_stage(sf_dir: str) -> dict:
 
     cfg = PipelineConfig()
     sf = max(_sf_of(sf_dir), 0.001)
+    # mult > 1: larger corpus for SCALING legs only — the ~9 s fixed
+    # per-exchange cost (aggregator spawn, scheduling) is flat in corpus
+    # size, so a bigger identical-input corpus isolates the compute scaling
+    # the criterion is about
     spec = FixtureSpec(
-        n_families=max(60, int(12000 * sf)), hot_block=int(50000 * sf), hot_dup=True
+        n_families=max(60, int(12000 * sf * mult)),
+        hot_block=int(50000 * sf * mult),
+        hot_dup=True,
     )
     d = cached_fixture(spec)
     ds = load_transcripts(
@@ -209,7 +215,7 @@ def _worker(sf_dir: str, num_cpus: int, flagship_only: bool) -> None:
         ray.shutdown()
 
 
-def _stage_worker(sf_dir: str, num_cpus: int) -> None:
+def _stage_worker(sf_dir: str, num_cpus: int, mult: float = 1.0) -> None:
     """Scaling repeat leg: ONLY the scoring-stage probe (skips the full
     flagship, whose number the first leg already carries)."""
     import ray
@@ -229,11 +235,12 @@ def _stage_worker(sf_dir: str, num_cpus: int) -> None:
         },
     )
     try:
-        stage = run_scoring_stage(sf_dir)
+        stage = run_scoring_stage(sf_dir, mult)
         print(
             json.dumps(
                 {
                     "num_cpus": num_cpus,
+                    "corpus_mult": mult,
                     "scoring_stage": {
                         "sec": round(stage["sec"], 3),
                         "pairs_scored": stage["pairs_scored"],
@@ -360,6 +367,7 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--hi", type=int, default=16)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--mult", type=float, default=1.0)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -368,7 +376,7 @@ def main() -> None:
     if args.scaling:
         _scaling(sf_dir, args.lo, args.hi, args.reps)
     elif args.stage_only:
-        _stage_worker(sf_dir, num_cpus)
+        _stage_worker(sf_dir, num_cpus, args.mult)
     else:
         _worker(sf_dir, num_cpus, args.flagship_only)
 

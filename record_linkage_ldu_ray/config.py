@@ -195,7 +195,11 @@ class PipelineConfig:
     # identical at any parallelism, so checkpoints must survive cluster-
     # size changes — the N-node run resumes on the 4N-node cluster)
     feature_partitions: int = 64  # hash partitions for per-conv aggregation
-    pair_partitions: int = 64  # hash partitions for pair dedup
+    # pair-stage partitions: sized so the scoring stage's tail stays short
+    # under skew and external load — 128 × ~quarter-core tasks measured
+    # 1.7× faster than 64 on a contended 16-CPU node, and a big cluster
+    # clamps to 4 tasks/core anyway (runtime.effective_partitions)
+    pair_partitions: int = 128
     # actor pool (min, max); None → auto-size max to the cluster CPU count
     scorer_concurrency: tuple[int, int] | None = None
     # scorer batch: 4096 keeps the JW kernel's per-iteration temporaries

@@ -56,14 +56,16 @@ def _cluster_cpus() -> int:
 
 
 def effective_partitions(requested: int) -> int:
-    """Clamp a configured partition count to ~2 tasks per available CPU.
+    """Clamp a configured partition count to ~4 tasks per available CPU.
 
     Config values size the EXCHANGE for the design scale; on a small
     cluster (or a 4-CPU test session) running 64 partition-tasks of a tiny
     stage costs more in scheduling than it buys in parallelism.  On a big
-    cluster the clamp is a no-op.
+    cluster the clamp is a no-op.  4 waves per core (not 2) keeps the
+    stage's tail short when partition sizes are skewed — the final wave's
+    straggler is a quarter-size partition, not a half-size one.
     """
-    return max(2, min(requested, _cluster_cpus() * 2))
+    return max(2, min(requested, _cluster_cpus() * 4))
 
 
 def partitioned_map(ds, key_cols: list[str], num_partitions: int, fn, **map_kwargs):
