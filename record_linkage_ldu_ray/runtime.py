@@ -17,6 +17,18 @@ driver owns the session).
 
 from __future__ import annotations
 
+import os
+
+
+def _num_aggregators() -> int:
+    """~1 shuffle aggregator per 4 CPUs, scaled WITH the cluster (see
+    configure_exchange); ``RL_SHUFFLE_AGGREGATORS`` overrides for tuning
+    experiments."""
+    env = os.environ.get("RL_SHUFFLE_AGGREGATORS")
+    if env:
+        return int(env)
+    return max(2, _cluster_cpus() // 4)
+
 
 def configure_exchange() -> None:
     """Switch the current DataContext to hash-shuffle exchanges.
@@ -43,7 +55,7 @@ def configure_exchange() -> None:
     # fixed count hands a small cluster disproportionate hidden capacity —
     # which both distorts two-cluster-size scaling measurements and would
     # under-provision a big one.
-    ctx.max_hash_shuffle_aggregators = max(2, _cluster_cpus() // 4)
+    ctx.max_hash_shuffle_aggregators = _num_aggregators()
 
 
 def _cluster_cpus() -> int:
@@ -88,7 +100,7 @@ def partitioned_map(ds, key_cols: list[str], num_partitions: int, fn, **map_kwar
     ds.context.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     ds.context.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.01
     ds.context.hash_aggregate_operator_actor_num_cpus_per_partition_override = 0.01
-    ds.context.max_hash_shuffle_aggregators = max(2, _cluster_cpus() // 4)
+    ds.context.max_hash_shuffle_aggregators = _num_aggregators()
     num_partitions = effective_partitions(num_partitions)
     return ds.repartition(num_partitions, keys=key_cols, sort=False).map_batches(
         fn,
