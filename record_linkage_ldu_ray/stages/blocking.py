@@ -62,16 +62,30 @@ def _record_keys(
         rows.append(row_idx[nonempty])
         srcs.append(np.full(int(nonempty.sum()), j, dtype=np.int8))
     if cfg.blocking.use_prefix_key:
-        first = np.array(
-            [x if x is not None else "" for x in batch["first_token"].to_pylist()],
-            dtype=object,
-        )
+        import pyarrow.compute as pc
+
+        first = batch["first_token"]
+        if isinstance(first, pa.ChunkedArray):
+            first = first.combine_chunks()
+        first = pc.fill_null(first.cast(pa.string()), "")
         if cfg.blocking.prefix_key_kind == "soundex":
-            codes = soundex_array(first)
-        else:  # "prefix4": exact 4-char prefix (digit-preserving)
-            codes = np.array([s[:4] for s in first], dtype=object)
-        pk = splitmix64(fnv1a_hash_strings(pa.array(codes.astype(str))) ^ _PREFIX_TAG)
-        has_tok = np.array([bool(c) for c in codes])
+            # soundex is per-unique-token Python; feed it the dictionary
+            # vocabulary only, then gather codes back by index.
+            enc = first.dictionary_encode()
+            vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            code_vocab = soundex_array(vocab) if len(vocab) else np.empty(0, object)
+            pk_vocab = splitmix64(
+                fnv1a_hash_strings(pa.array(code_vocab.astype(str))) ^ _PREFIX_TAG
+            )
+            pk = pk_vocab[idx]
+            has_tok = np.array([bool(c) for c in code_vocab], dtype=bool)[idx]
+        else:  # "prefix4": exact 4-char prefix (digit-preserving), Arrow kernel
+            codes = pc.utf8_slice_codeunits(first, 0, 4)
+            pk = splitmix64(fnv1a_hash_strings(codes) ^ _PREFIX_TAG)
+            has_tok = pc.not_equal(pc.utf8_length(first), 0).to_numpy(
+                zero_copy_only=False
+            )
         keys.append(pk[has_tok])
         rows.append(row_idx[has_tok])
         srcs.append(np.full(int(has_tok.sum()), bands, dtype=np.int8))

@@ -71,19 +71,30 @@ def _contract(tbl: pa.Table) -> pa.Table:
         tbl = tbl.drop_columns(["upart"])
     if len(tbl) == 0:
         return pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})
+    import pyarrow.compute as pc
+
     u = tbl["u"].cast(pa.string()).combine_chunks() if isinstance(tbl["u"], pa.ChunkedArray) else tbl["u"].cast(pa.string())
     v = tbl["v"].cast(pa.string()).combine_chunks() if isinstance(tbl["v"], pa.ChunkedArray) else tbl["v"].cast(pa.string())
-    ustr = np.asarray(u.to_pylist(), dtype=object)
-    vstr = np.asarray(v.to_pylist(), dtype=object)
-    uniq, inv = np.unique(np.concatenate([ustr, vstr]), return_inverse=True)
-    m = len(ustr)
-    roots = union_find_codes(inv[:m], inv[m:], len(uniq))
-    node = np.arange(len(uniq), dtype=np.int64)
+    # np.unique-equivalent without materializing Python strings: dictionary
+    # encode (Arrow C++), then rank the vocabulary by byte order (== code
+    # point order for UTF-8, matching Python str comparison) so "min root"
+    # still means "min node string".
+    m = len(u)
+    enc = pa.concat_arrays([u, v]).dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    vocab = enc.dictionary
+    order = pc.sort_indices(vocab).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    rank = np.empty(len(vocab), dtype=np.int64)
+    rank[order] = np.arange(len(vocab), dtype=np.int64)
+    rcodes = rank[codes]
+    roots = union_find_codes(rcodes[:m], rcodes[m:], len(vocab))
+    node = np.arange(len(vocab), dtype=np.int64)
     keep = roots != node
+    vocab_sorted = vocab.take(pa.array(order))
     return pa.table(
         {
-            "u": pa.array(uniq[node[keep]], pa.string()),
-            "v": pa.array(uniq[roots[keep]], pa.string()),
+            "u": vocab_sorted.take(pa.array(node[keep])),
+            "v": vocab_sorted.take(pa.array(roots[keep])),
         }
     )
 
