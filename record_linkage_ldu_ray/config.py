@@ -202,10 +202,12 @@ class PipelineConfig:
     pair_partitions: int = 128
     # actor pool (min, max); None → auto-size max to the cluster CPU count
     scorer_concurrency: tuple[int, int] | None = None
-    # scorer batch: 4096 keeps the JW kernel's per-iteration temporaries
-    # (~10 arrays × 32 KB) cache-resident — measured faster than 16k rows,
-    # where the working set spills to L3/DRAM and per-row cost triples
-    scorer_batch_size: int = 4096
+    # scorer batch: the JW kernel's big per-batch arrays (PMB n×128 u64,
+    # BITS/WT n×Lmax u64) must stay cache-resident; 1–2k rows measured
+    # 35–40% faster than 4096 single-threaded (min-of-5, quiet window) and
+    # the margin grows when 16 workers share L3 — per-row cost triples by
+    # 16k rows where the working set spills to DRAM
+    scorer_batch_size: int = 2048
     normalize_batch_size: int = 65536
     max_unionfind_rounds: int = 12
 
