@@ -270,6 +270,41 @@ class TestBatchKernels:
                 canon[x] = mn
         assert roots.tolist() == [canon[i] for i in range(n)]
 
+    def test_contract_matches_np_unique_reference(self):
+        """The Arrow dictionary-encode + rank path in _contract must agree
+        with the straightforward np.unique-over-Python-strings reference,
+        including min-string root selection (byte order == code point
+        order), duplicates, self-loops and non-ASCII ids."""
+        import pyarrow as pa
+        from record_linkage_ldu_ray.stages.cluster import _contract, union_find_codes
+
+        rng = np.random.default_rng(23)
+        vocab = (
+            [f"conv-{i:04d}" for i in range(40)]
+            + ["zzz", "ä-umlaut", "é-acute", "a", ""]
+        )
+        m = 300
+        us = [vocab[i] for i in rng.integers(0, len(vocab), m)]
+        vs = [vocab[i] for i in rng.integers(0, len(vocab), m)]
+        tbl = pa.table({"u": pa.array(us, pa.string()), "v": pa.array(vs, pa.string())})
+        got = _contract(tbl)
+
+        ustr = np.asarray(us, dtype=object)
+        vstr = np.asarray(vs, dtype=object)
+        uniq, inv = np.unique(np.concatenate([ustr, vstr]), return_inverse=True)
+        roots = union_find_codes(inv[:m], inv[m:], len(uniq))
+        node = np.arange(len(uniq), dtype=np.int64)
+        keep = roots != node
+        assert got["u"].to_pylist() == list(uniq[node[keep]])
+        assert got["v"].to_pylist() == list(uniq[roots[keep]])
+
+    def test_contract_empty(self):
+        import pyarrow as pa
+        from record_linkage_ldu_ray.stages.cluster import _contract
+
+        out = _contract(pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())}))
+        assert len(out) == 0 and out.column_names == ["u", "v"]
+
 
 class TestBatchKernelProperties:
     def test_jaro_winkler_batch_property(self):
