@@ -210,6 +210,13 @@ class PipelineConfig:
     scorer_batch_size: int = 2048
     normalize_batch_size: int = 65536
     max_unionfind_rounds: int = 12
+    # connected-components driver fast path: after the local pre-contraction
+    # (≤ one star edge per non-root node), a star set at or below this size
+    # finishes with ONE driver union-find + a broadcast label join instead
+    # of iterated distributed rounds — identical labels (min conv_id per
+    # component), ~3 fewer exchanges.  Physical knob: results are
+    # path-independent, so it stays out of the semantic config hash.
+    cc_driver_max_edges: int = 2_000_000
 
     _SEMANTIC_FIELDS = ("normalizer", "minhash", "blocking", "scoring", "rules")
 

@@ -119,6 +119,38 @@ def _edge_checksum(ds) -> tuple[int, int]:
     return int(parts["n"].sum()), int(parts["s"].sum())
 
 
+def _label_via_driver(edges, all_ids_ds, cfg: PipelineConfig):
+    """CC fast path for a contracted star set that fits the driver: one
+    exact union-find over the collected stars, then the (node → root) map
+    — only non-singleton members, small by construction — broadcasts ONCE
+    via ``ray.put`` and every universe batch left-joins it (vectorized
+    polars hash join; missing → self-label), streaming over ``all_ids_ds``
+    of any size."""
+    import ray
+
+    tbl = pa.concat_tables(
+        [pa.table({"u": t["u"], "v": t["v"]}) for t in edges.iter_batches(batch_format="pyarrow")]
+        or [pa.table({"u": pa.array([], pa.string()), "v": pa.array([], pa.string())})]
+    )
+    star = _contract(tbl)  # global union-find over all collected stars
+    labels = ray.put(
+        pa.table({"conv_id": star["u"].cast(pa.string()), "cluster_id": star["v"].cast(pa.string())})
+    )
+
+    def _join(batch: pa.Table, labels_ref=labels) -> pa.Table:
+        lab = pl.from_arrow(ray.get(labels_ref))
+        ids = pl.from_arrow(batch.select(["conv_id"]))
+        out = (
+            ids.join(lab, on="conv_id", how="left")
+            .with_columns(pl.col("cluster_id").fill_null(pl.col("conv_id")))
+            .sort("conv_id")
+        )
+        return out.to_arrow()
+
+    clusters = all_ids_ds.map_batches(_join, batch_format="pyarrow", zero_copy_batch=True)
+    return clusters
+
+
 def connected_components(edges_ds, all_ids_ds, cfg: PipelineConfig):
     """Edge list (conv_id_a, conv_id_b) + universe of conv_ids →
     (conv_id, cluster_id) with every conv_id exactly once.
@@ -136,6 +168,18 @@ def connected_components(edges_ds, all_ids_ds, cfg: PipelineConfig):
         .map_batches(_contract, batch_format="pyarrow")  # local pre-contraction
         .materialize()
     )
+
+    # Driver fast path: the pre-contraction leaves ≤ one star edge per
+    # non-root node, so a match graph whose contracted stars fit the driver
+    # (cc_driver_max_edges) finishes with ONE exact union-find here plus a
+    # broadcast label join over the universe — same labels as the iterated
+    # rounds (contraction preserves connectivity; root = min conv_id), but
+    # ~3 fewer all-to-all exchanges and no per-round checksum scans.  At
+    # 10^12-record scale the star set can exceed the bound, and the
+    # distributed fixpoint below takes over unchanged.
+    n_star = edges.count()
+    if n_star <= cfg.cc_driver_max_edges:
+        return _label_via_driver(edges, all_ids_ds, cfg), 0
 
     prev = None
     rounds = 0

@@ -96,6 +96,20 @@ class TestInvariants:
         same, diff = clusters_equal(res.clusters, f"{xs_fixture_dir}/expected_clusters.parquet")
         assert same, diff
 
+    def test_cc_distributed_path_matches_driver_path(self, ray_session, xs_fixture_dir):
+        # the driver union-find fast path (cc_driver_max_edges) and the
+        # iterated distributed fixpoint must label identically; forcing the
+        # threshold to 0 exercises the distributed rounds on the same input
+        import dataclasses
+
+        cfg = dataclasses.replace(PipelineConfig(), cc_driver_max_edges=0)
+        res = dedup_transcripts(
+            f"{xs_fixture_dir}/transcripts.parquet", cfg, workdir=None
+        )
+        same, diff = clusters_equal(res.clusters, f"{xs_fixture_dir}/expected_clusters.parquet")
+        assert same, diff
+        assert res.metrics["unionfind_rounds"] >= 1
+
     def test_empty_and_null_text_conversations(self, ray_session, tmp_path):
         # convs whose text is all null/empty must survive as singletons
         import pyarrow as pa
