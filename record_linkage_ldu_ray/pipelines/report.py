@@ -54,25 +54,26 @@ def clusters_to_review_frame(
                 "ts_min", "text_preview", "group_size",
             ]
         )
-    chosen_ref = ray.put(set(chosen))
+    chosen_ref = ray.put(pa.array(sorted(map(str, chosen)), pa.string()))
 
     has_side = "side" in clusters_ds.schema().names
 
     def _members(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         sel = ray.get(chosen_ref)
-        keep = pa.array([c in sel for c in t["cluster_id"].to_pylist()])
-        return t.filter(keep)
+        return t.filter(pc.is_in(t["cluster_id"].cast(pa.string()), value_set=sel))
 
     members = clusters_ds.map_batches(_members, batch_format="pyarrow").to_pandas()
-    member_set = ray.put(set(members["conv_id"]))
+    member_set = ray.put(pa.array(sorted(map(str, set(members["conv_id"]))), pa.string()))
 
     def _summarize(t: pa.Table) -> pa.Table:
         """Per-conv review summary for member conversations only."""
         import polars as pl
+        import pyarrow.compute as pc
 
         sel = ray.get(member_set)
-        keep = pa.array([c in sel for c in t["conv_id"].to_pylist()])
-        sub = t.filter(keep)
+        sub = t.filter(pc.is_in(t["conv_id"].cast(pa.string()), value_set=sel))
         if len(sub) == 0:
             return pa.table(
                 {
