@@ -238,6 +238,99 @@ def _q_image_features_stub(sf_dir: str):
     )
 
 
+def _q_image_resize_stub(sf_dir: str):
+    """Resize-stage plumbing, projected to its DETERMINISTIC columns
+    (row preservation + target dims + size-law of the stub thumbnail) so
+    the fake-kernel stage is oracle-checkable end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from record_linkage_ldu_ray.stages.multimodal import resize_images
+
+    out = resize_images(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"),
+        "doc_id",
+        "text",
+        mode="fake",
+        width=64,
+        height=64,
+    )
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["id"],
+                "width": t["width"],
+                "height": t["height"],
+                "thumb_bytes": pc.cast(pc.binary_length(t["payload"]), pa.int64()),
+            }
+        )
+
+    return out.map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_audio_features_stub(sf_dir: str):
+    """Audio featurize-stage plumbing, projected to deterministic columns
+    (duration law: payload bytes / 16 kHz; feature vector width)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_linkage_ldu_ray.stages.multimodal import extract_audio_features
+
+    out = extract_audio_features(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"),
+        "doc_id",
+        "text",
+        mode="fake",
+    )
+
+    def _proj(t: pa.Table) -> pa.Table:
+        feats = t["features"].combine_chunks()
+        dim = feats.type.list_size
+        return pa.table(
+            {
+                "id": t["id"],
+                "feature_dim": pa.array([dim] * len(t), pa.int64()),
+                "duration_s": t["duration_s"],
+            }
+        )
+
+    return out.map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_video_frame_sample_stub(sf_dir: str):
+    """Frame-sampling fan-out plumbing (1 payload row → k frame rows),
+    projected to the deterministic (id, frame_idx, frame_bytes) columns."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from record_linkage_ldu_ray.stages.multimodal import sample_video_frames
+
+    out = sample_video_frames(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"),
+        "doc_id",
+        "text",
+        mode="fake",
+        frames_per_video=4,
+    )
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": t["id"],
+                "frame_idx": pc.cast(t["frame_idx"], pa.int64()),
+                "frame_bytes": pc.cast(pc.binary_length(t["frame"]), pa.int64()),
+            }
+        )
+
+    return out.map_batches(_proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_lineitem_pricing(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import lineitem_pricing_summary
 
@@ -418,6 +511,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "payload_metadata": _q_payload_metadata,
         "image_features_stub": _q_image_features_stub,
+        "image_resize_stub": _q_image_resize_stub,
+        "audio_features_stub": _q_audio_features_stub,
+        "video_frame_sample_stub": _q_video_frame_sample_stub,
         # flagship + cross-table linkage
         "transcript_dedup": _q_transcript_dedup,
         "bipartite_jaccard_links": _q_bipartite_jaccard_links,
@@ -577,6 +673,31 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256,
                    'unknown' AS kind
             FROM documents
+        """,
+        # stub-kernel multimodal stages: the projected columns are the
+        # DETERMINISTIC plumbing laws (row preservation, target dims, stub
+        # size law, fan-out count), so the oracle checks the Ray-side
+        # plumbing exactly while the decode kernel itself stays a stub
+        "image_resize_stub": """
+            SELECT doc_id AS id, CAST(64 AS INTEGER) AS width,
+                   CAST(64 AS INTEGER) AS height,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE CAST(512 AS BIGINT) END AS thumb_bytes
+            FROM documents
+        """,
+        "audio_features_stub": """
+            SELECT doc_id AS id, CAST(16 AS BIGINT) AS feature_dim,
+                   CASE WHEN text IS NULL THEN CAST(0.0 AS FLOAT)
+                        ELSE CAST(octet_length(encode(text)) / 16000.0 AS FLOAT)
+                   END AS duration_s
+            FROM documents
+        """,
+        "video_frame_sample_stub": """
+            SELECT d.doc_id AS id, f.frame_idx,
+                   CAST(256 AS BIGINT) AS frame_bytes
+            FROM documents d
+            CROSS JOIN (SELECT unnest(range(4)) AS frame_idx) f
+            WHERE d.text IS NOT NULL
         """,
         "dedup_turns": f"""
             WITH tsyn AS ({_TSYN_SQL})

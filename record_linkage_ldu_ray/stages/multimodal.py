@@ -70,44 +70,67 @@ def payload_metadata(
     )
 
 
-class ImageFeatureExtractor:
-    """Actor-pool decode + featurize stage for image payloads.
+class _PayloadActorStage:
+    """Shared lifecycle for stubbed binary-payload actor stages.
 
-    Real deployments load a vision model in ``__init__`` (once per actor)
-    and decode with PIL/opencv in ``__call__``.  Neither library exists in
-    this container, so:
+    Real deployments load the heavy decoder/model in ``__init__`` (once per
+    actor) and decode in ``__call__``.  The decode libraries don't exist in
+    this container, so every subclass supports:
 
-    - ``mode='strict'`` raises ``NotImplementedError`` at decode time (the
-      honest stub), and
-    - ``mode='fake'`` emits a deterministic pseudo-feature vector seeded by
-      the payload's SHA-256 — preserving the exact schema, batch sizing and
-      actor lifecycle a real extractor would have, so the pipeline around it
-      is fully testable.
+    - ``mode='strict'`` — raises ``NotImplementedError`` at decode time
+      (the honest stub), and
+    - ``mode='fake'`` — a deterministic output seeded by the payload's
+      SHA-256, preserving the exact schema, batch sizing and actor
+      lifecycle a real kernel would have, so the pipeline around it is
+      fully testable.
     """
 
-    OUTPUT_DIM = 16
+    MODALITY = "payload"
+    REQUIRES = "a decode library"
 
-    def __init__(self, mode: str = "strict", feature_dim: int = OUTPUT_DIM):
+    def __init__(self, mode: str = "strict"):
         assert mode in ("strict", "fake")
         self.mode = mode
-        self.dim = feature_dim
-        # heavy model load would happen HERE, once per actor
+        # heavy model / decoder load would happen HERE, once per actor
 
-    def _fake_features(self, payload: bytes) -> np.ndarray:
-        digest = hashlib.sha256(payload).digest()
-        seed = int.from_bytes(digest[:8], "little")
-        rng = np.random.default_rng(seed)
-        return rng.standard_normal(self.dim).astype(np.float32)
+    def _strict_raise(self):
+        raise NotImplementedError(
+            f"{self.MODALITY} decode requires {self.REQUIRES} (not in this "
+            "container); run with mode='fake' for the deterministic test path"
+        )
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        if self.mode == "strict":
-            raise NotImplementedError(
-                "image decode requires PIL/opencv (not in this container); "
-                "run with mode='fake' for the deterministic test path"
-            )
+    @staticmethod
+    def _payload_col(t: pa.Table) -> pa.Array:
         col = t["payload"].combine_chunks()
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
             col = col.cast(pa.large_binary())
+        return col
+
+    @staticmethod
+    def _rng_for(payload: bytes) -> np.random.Generator:
+        digest = hashlib.sha256(payload).digest()
+        return np.random.default_rng(int.from_bytes(digest[:8], "little"))
+
+
+class ImageFeatureExtractor(_PayloadActorStage):
+    """Actor-pool decode + featurize stage for image payloads (PIL/opencv +
+    vision model in a real deployment; see ``_PayloadActorStage``)."""
+
+    MODALITY = "image"
+    REQUIRES = "PIL/opencv"
+    OUTPUT_DIM = 16
+
+    def __init__(self, mode: str = "strict", feature_dim: int = OUTPUT_DIM):
+        super().__init__(mode)
+        self.dim = feature_dim
+
+    def _fake_features(self, payload: bytes) -> np.ndarray:
+        return self._rng_for(payload).standard_normal(self.dim).astype(np.float32)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.mode == "strict":
+            self._strict_raise()
+        col = self._payload_col(t)
         feats = np.stack(
             [
                 self._fake_features(v) if v is not None else np.zeros(self.dim, np.float32)
@@ -124,6 +147,166 @@ class ImageFeatureExtractor:
         )
 
 
+class ImageResizer(_PayloadActorStage):
+    """Actor-pool image resize stage (decode → scale → re-encode in a real
+    deployment).  Fake mode emits a deterministic pseudo-thumbnail whose
+    bytes are seeded by the input payload's SHA-256, sized proportionally to
+    ``width × height`` — preserving the invariant a real resizer has
+    (output size is a function of target dims, not input size), so
+    batch-size math downstream is testable.
+
+    Output: (id, payload:large_binary, width:int32, height:int32).
+    """
+
+    MODALITY = "image"
+    REQUIRES = "PIL/opencv"
+
+    def __init__(self, mode: str = "strict", width: int = 64, height: int = 64):
+        super().__init__(mode)
+        self.width = int(width)
+        self.height = int(height)
+
+    def _fake_resize(self, payload: bytes) -> bytes:
+        # ~1 byte/px stand-in for the re-encoded thumbnail
+        n = max(8, (self.width * self.height) // 8)
+        return self._rng_for(payload).bytes(n)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.mode == "strict":
+            self._strict_raise()
+        col = self._payload_col(t)
+        out = [
+            self._fake_resize(v) if v is not None else None for v in col.to_pylist()
+        ]
+        n = len(t)
+        return pa.table(
+            {
+                "id": t["id"],
+                "payload": pa.array(out, pa.large_binary()),
+                "width": pa.array([self.width] * n, pa.int32()),
+                "height": pa.array([self.height] * n, pa.int32()),
+            }
+        )
+
+
+class AudioFeatureExtractor(_PayloadActorStage):
+    """Actor-pool audio featurize stage (soundfile/librosa + an embedding
+    model in a real deployment).  Fake mode emits a deterministic
+    fixed-dimension float vector per payload (schema identical to a real
+    log-mel / embedding head).
+
+    Output: (id, features:fixed_size_list<float32>[dim], duration_s:float32).
+    """
+
+    MODALITY = "audio"
+    REQUIRES = "soundfile/librosa"
+    OUTPUT_DIM = 16
+
+    def __init__(self, mode: str = "strict", feature_dim: int = OUTPUT_DIM):
+        super().__init__(mode)
+        self.dim = feature_dim
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.mode == "strict":
+            self._strict_raise()
+        col = self._payload_col(t)
+        vals = col.to_pylist()
+        feats = np.stack(
+            [
+                self._rng_for(v).standard_normal(self.dim).astype(np.float32)
+                if v is not None
+                else np.zeros(self.dim, np.float32)
+                for v in vals
+            ]
+        )
+        # fake duration: proportional to payload bytes (real: frames / rate)
+        dur = np.array(
+            [len(v) / 16000.0 if v is not None else 0.0 for v in vals], np.float32
+        )
+        return pa.table(
+            {
+                "id": t["id"],
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), pa.float32()), self.dim
+                ),
+                "duration_s": pa.array(dur),
+            }
+        )
+
+
+class VideoFrameSampler(_PayloadActorStage):
+    """Actor-pool frame-sampling stage: one video payload row → up to
+    ``frames_per_video`` frame rows (a 1→k fan-out inside ``map_batches``;
+    Ray Data splits oversized output blocks, so k × frame bytes per input
+    row — not the video size — bounds the output block).  Fake mode emits
+    deterministic pseudo-frames seeded by (payload SHA-256, frame index).
+
+    Output: (id, frame_idx:int32, frame:large_binary) — nulls drop (no
+    frames to sample).
+    """
+
+    MODALITY = "video"
+    REQUIRES = "ffmpeg/pyav"
+
+    def __init__(
+        self, mode: str = "strict", frames_per_video: int = 4, frame_bytes: int = 256
+    ):
+        super().__init__(mode)
+        self.k = int(frames_per_video)
+        self.frame_bytes = int(frame_bytes)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        if self.mode == "strict":
+            self._strict_raise()
+        col = self._payload_col(t)
+        ids, idxs, frames = [], [], []
+        for rid, v in zip(t["id"].to_pylist(), col.to_pylist()):
+            if v is None:
+                continue
+            rng = self._rng_for(v)
+            for j in range(self.k):
+                ids.append(rid)
+                idxs.append(j)
+                frames.append(rng.bytes(self.frame_bytes))
+        return pa.table(
+            {
+                "id": pa.array(ids, t["id"].type),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "frame": pa.array(frames, pa.large_binary()),
+            }
+        )
+
+
+def _payload_stage(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    binary_col: str,
+    stage_cls,
+    stage_kwargs: dict,
+    concurrency: tuple[int, int],
+    batch_size: int,
+) -> "ray.data.Dataset":
+    """Common plumbing: project to (id, payload), run the actor-pool stage
+    with SMALL batches (payloads are large binaries — batch × concurrency
+    must fit the worker heap)."""
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t[id_col], "payload": t[binary_col]})
+
+    return (
+        ds.select_columns([id_col, binary_col])
+        .map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            stage_cls,
+            fn_constructor_kwargs=stage_kwargs,
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            batch_size=batch_size,
+            num_cpus=1,
+        )
+    )
+
+
 def extract_image_features(
     ds: "ray.data.Dataset",
     id_col: str,
@@ -134,19 +317,58 @@ def extract_image_features(
 ) -> "ray.data.Dataset":
     """Actor-pool featurize stage over a binary column (schema/plumbing is
     real; the decode kernel is stubbed, see ``ImageFeatureExtractor``)."""
+    return _payload_stage(
+        ds, id_col, binary_col, ImageFeatureExtractor, {"mode": mode},
+        concurrency, batch_size,
+    )
 
-    def _rename(t: pa.Table) -> pa.Table:
-        return pa.table({"id": t[id_col], "payload": t[binary_col]})
 
-    return (
-        ds.select_columns([id_col, binary_col])
-        .map_batches(_rename, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(
-            ImageFeatureExtractor,
-            fn_constructor_kwargs={"mode": mode},
-            batch_format="pyarrow",
-            concurrency=concurrency,
-            batch_size=batch_size,
-            num_cpus=1,
-        )
+def resize_images(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    binary_col: str,
+    mode: str = "strict",
+    width: int = 64,
+    height: int = 64,
+    concurrency: tuple[int, int] = (1, 4),
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool image-resize stage (stubbed kernel, real plumbing)."""
+    return _payload_stage(
+        ds, id_col, binary_col, ImageResizer,
+        {"mode": mode, "width": width, "height": height},
+        concurrency, batch_size,
+    )
+
+
+def extract_audio_features(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    binary_col: str,
+    mode: str = "strict",
+    concurrency: tuple[int, int] = (1, 4),
+    batch_size: int = 64,
+) -> "ray.data.Dataset":
+    """Actor-pool audio featurize stage (stubbed kernel, real plumbing)."""
+    return _payload_stage(
+        ds, id_col, binary_col, AudioFeatureExtractor, {"mode": mode},
+        concurrency, batch_size,
+    )
+
+
+def sample_video_frames(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    binary_col: str,
+    mode: str = "strict",
+    frames_per_video: int = 4,
+    concurrency: tuple[int, int] = (1, 4),
+    batch_size: int = 16,  # videos are the largest payloads; smallest batches
+) -> "ray.data.Dataset":
+    """Actor-pool video frame-sampling stage: 1 video row → k frame rows
+    (stubbed decode, real fan-out plumbing)."""
+    return _payload_stage(
+        ds, id_col, binary_col, VideoFrameSampler,
+        {"mode": mode, "frames_per_video": frames_per_video},
+        concurrency, batch_size,
     )
