@@ -367,6 +367,12 @@ def _q_sessionize_events(sf_dir: str):
     return sessionize_events(sf_dir, gap_minutes=30)
 
 
+def _q_tumbling_window_stats(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import tumbling_window_stats
+
+    return tumbling_window_stats(sf_dir, window="1h")
+
+
 def _q_dedup_turns(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
     from record_linkage_ldu_ray.stages.turndedup import dedup_turns
@@ -487,6 +493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "user_event_features": _q_user_event_features,
         "sessionize_events": _q_sessionize_events,
+        "tumbling_window_stats": _q_tumbling_window_stats,
         # dedup suite
         "exact_dedup": _q_exact_dedup,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
@@ -579,6 +586,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    min(ts) AS ts_start, max(ts) AS ts_end
             FROM s GROUP BY user_id, session_idx
+        """,
+        "tumbling_window_stats": """
+            SELECT user_id, date_trunc('hour', ts) AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clicks
+            FROM events
+            GROUP BY user_id, date_trunc('hour', ts)
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text

@@ -221,6 +221,65 @@ def user_event_features(sf_dir: str, num_parts: int = 32):
     )
 
 
+def tumbling_window_stats(sf_dir: str, window: str = "1h", num_parts: int = 32):
+    """Tumbling (fixed-width) windowed aggregate over the event stream:
+    per (user_id, window_start) event count, value sum and click count.
+
+    The scale pattern is two-level aggregation: each input batch combines
+    to at most one partial row per (user, window) it contains (vectorized
+    polars group_by inside ``map_batches``), and only those partials — not
+    raw events — enter the ONE hash exchange keyed by user; the merge sums
+    partials per partition.  Shuffle volume is O(distinct user-windows per
+    batch), not O(events).  Value sums travel as integer cents so the
+    result is bit-exact against the SQL oracle regardless of merge order.
+
+    Output: (user_id, window_start, n_events:int64, sum_value_cents:int64,
+    n_clicks:int64).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type", "value"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.with_columns(
+                pl.col("ts").dt.truncate(window).alias("window_start"),
+                (pl.col("value") * 100).round(0).cast(pl.Int64).alias("_cents"),
+                (pl.col("event_type") == "click").cast(pl.Int64).alias("_click"),
+            )
+            .group_by(["user_id", "window_start"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                pl.col("_cents").sum().alias("sum_value_cents"),
+                pl.col("_click").sum().alias("n_clicks"),
+            )
+        )
+        t2 = out.to_arrow()
+        h = fnv1a_hash_strings(t2["user_id"].cast(pa.string()))
+        return t2.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        return (
+            df.group_by(["user_id", "window_start"])
+            .agg(
+                pl.col("n_events").sum(),
+                pl.col("sum_value_cents").sum(),
+                pl.col("n_clicks").sum(),
+            )
+            .sort(["user_id", "window_start"])
+            .to_arrow()
+        )
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_map(partials, ["part"], num_parts, _merge)
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30, num_parts: int = 32):
     """Windowed aggregate over an event stream: per-user sessionization by
     inactivity gap — the streaming-window operator a training-data pipeline

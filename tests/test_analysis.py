@@ -135,3 +135,58 @@ class TestSources:
         assert list(got["text"].fillna("")) == list(want["text"].fillna(""))
         # parquet dispatch path
         assert read_table(f"{xs_fixture_dir}/transcripts.parquet").count() > 0
+
+
+class TestTumblingWindow:
+    def test_partials_merge_exactly(self, ray_session, tmp_path):
+        """Two-level (partial → keyed merge) aggregation must be exact:
+        compare against a single-pass pandas groupby on the same events."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from record_linkage_ldu_ray.pipelines.relational import tumbling_window_stats
+
+        rng = np.random.default_rng(7)
+        n = 5000
+        base = dt.datetime(2024, 1, 1)
+        ts = [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 72 * 3600, n)]
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "ts": pd.to_datetime(ts).astype("datetime64[us]"),
+                "user_id": rng.integers(0, 40, n),
+                "event_type": rng.choice(["click", "view", "error"], n),
+                "value": np.round(rng.uniform(0, 100, n), 2),
+                "props": ["{}"] * n,
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pa.Table.from_pandas(df, preserve_index=False)
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(pa.Table.from_pandas(df, preserve_index=False), f"{d}/events.parquet")
+
+        got = (
+            tumbling_window_stats(str(d), window="1h")
+            .to_pandas()
+            .sort_values(["user_id", "window_start"])
+            .reset_index(drop=True)
+        )
+        ref = df.assign(
+            window_start=df["ts"].dt.floor("h"),
+            cents=(df["value"] * 100).round().astype("int64"),
+            click=(df["event_type"] == "click").astype("int64"),
+        )
+        want = (
+            ref.groupby(["user_id", "window_start"], as_index=False)
+            .agg(n_events=("event_id", "size"), sum_value_cents=("cents", "sum"),
+                 n_clicks=("click", "sum"))
+            .sort_values(["user_id", "window_start"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want)
+        assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+        assert (got["sum_value_cents"].to_numpy() == want["sum_value_cents"].to_numpy()).all()
+        assert (got["n_clicks"].to_numpy() == want["n_clicks"].to_numpy()).all()
