@@ -97,6 +97,18 @@ def _q_jaccard_dup_pairs(sf_dir: str):
     )
 
 
+def _q_ngram_jaccard_dup_pairs(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import ngram_jaccard_dup_pairs
+
+    # bigrams at a low tau: the sf corpus has little cross-doc n-gram
+    # overlap, so this keeps the oracle check populated (~763 pairs)
+    return ngram_jaccard_dup_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), n=2, tau=0.05
+    )
+
+
 def _q_minhash_lsh_dup_pairs(sf_dir: str):
     import ray.data
 
@@ -497,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup suite
         "exact_dedup": _q_exact_dedup,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
+        "ngram_jaccard_dup_pairs": _q_ngram_jaccard_dup_pairs,
         "minhash_lsh_dup_pairs": _q_minhash_lsh_dup_pairs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -613,6 +626,23 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(a.w) + len(b.w) > 0)
             SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
             FROM pairs WHERE j >= 0.5
+        """,
+        "ngram_jaccard_dup_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, source, {_WS_WORDS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(range(1, len(w)),
+                        i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+              FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE len(a.s) + len(b.s) > 0)
+            SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
+            FROM pairs WHERE j >= 0.05
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

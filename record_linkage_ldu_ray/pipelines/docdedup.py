@@ -259,6 +259,63 @@ def jaccard_dup_pairs(
     return partitioned_map(withpart, ["part"], 16, _score)
 
 
+def ngram_jaccard_dup_pairs(
+    ds: "ray.data.Dataset",
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    tau: float = 0.3,
+):
+    """All pairs within a block whose word ``n``-gram shingle-set Jaccard
+    ≥ tau — the EXACT similarity the MinHash+LSH path approximates
+    (``minhash_lsh_dup_pairs`` uses the same ``_shingle_hashes`` sets), so
+    the two operators are directly comparable on the same corpus.
+
+    Same distribution shape as ``jaccard_dup_pairs`` (hash-partition by
+    block, vectorized triangle enumeration, one lexsort-merge per
+    partition); docs with fewer than ``n`` tokens have no shingles and
+    never pair (denominator-0 guard matches the SQL oracle).
+
+    Output: (id_a, id_b, jaccard:float64 rounded 6dp), id_a < id_b.
+    """
+    ds = ds.select_columns([id_col, block_col, text_col])
+
+    def _score(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([id_col, block_col]))
+        empty = pa.table(
+            {
+                f"{id_col}_a": pa.array([], pa.int64()),
+                f"{id_col}_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        pairs = _pairs_within_groups(df, block_col, id_col)
+        if len(pairs) == 0:
+            return empty
+        ii, jj = pairs[:, 0], pairs[:, 1]
+        flat, offsets = _shingle_hashes(t[text_col], n)  # sorted-unique per doc
+        ja = _pair_jaccard_f64(flat, offsets, ii, jj)
+        keep = ja >= tau
+        ids = df[id_col].to_numpy()
+        ia, ib = ids[ii[keep]], ids[jj[keep]]
+        ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pa.table(
+            {
+                f"{id_col}_a": pa.array(ia, pa.int64()),
+                f"{id_col}_b": pa.array(ib, pa.int64()),
+                "jaccard": pa.array(np.round(ja[keep], 6), pa.float64()),
+            }
+        )
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    withpart = ds.map_batches(
+        _add_hash_part(block_col, 16), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partitioned_map(withpart, ["part"], 16, _score)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup (the 100 TB scale path)
 
