@@ -385,6 +385,12 @@ def _q_tumbling_window_stats(sf_dir: str):
     return tumbling_window_stats(sf_dir, window="1h")
 
 
+def _q_clicks_last_purchase(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import clicks_last_purchase
+
+    return clicks_last_purchase(sf_dir)
+
+
 def _q_dedup_turns(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
     from record_linkage_ldu_ray.stages.turndedup import dedup_turns
@@ -506,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_features": _q_user_event_features,
         "sessionize_events": _q_sessionize_events,
         "tumbling_window_stats": _q_tumbling_window_stats,
+        "clicks_last_purchase": _q_clicks_last_purchase,
         # dedup suite
         "exact_dedup": _q_exact_dedup,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
@@ -609,6 +616,17 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_clicks
             FROM events
             GROUP BY user_id, date_trunc('hour', ts)
+        """,
+        "clicks_last_purchase": """
+            SELECT l.user_id, l.ts, l.event_id,
+                   r.event_id AS purchase_event_id,
+                   r.ts AS purchase_ts,
+                   r.value AS purchase_value
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') l
+            ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+                            WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text

@@ -338,6 +338,129 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30, num_parts: int = 32):
     )
 
 
+def asof_join(
+    left_ds,
+    right_ds,
+    *,
+    by: str,
+    on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    suffix: str = "_r",
+    num_parts: int = 32,
+    strategy: str = "backward",
+):
+    """Distributed as-of join: for every left row, attach the right row with
+    the greatest ``on`` ≤ left.``on`` (strategy="backward") sharing the same
+    ``by`` key; left rows with no such right row keep nulls (left join).
+
+    Ray Data has no native as-of join; this is the documented composition —
+    (a) align both sides to one schema with a ``side`` tag (missing columns
+    null-filled with the other side's types), (b) ONE hash exchange keyed by
+    ``by`` so matching keys co-locate, (c) per-partition vectorized polars
+    ``join_asof`` (sort by ``on``, binary-search merge — never a row loop).
+    Shuffle volume is one pass over both inputs; no driver materialization.
+
+    Partitioning assumption: all rows of one ``by`` key fit in one
+    partition's task (same bound as every keyed operator here); skewed keys
+    are bounded by the key's own row count, not the table size.
+
+    Output: (``by``, ``on``, *left_cols, *(c+suffix for right_cols)),
+    sorted by (``by``, ``on``) within each partition.  Right-side ties on
+    (``by``, ``on``) must be unique (asserted by the oracle check).
+    """
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    out_right = [c + suffix for c in right_cols]
+
+    def _align(side: int):
+        # right_cols may repeat `by`/`on` (to carry them into the output) —
+        # select each source column once
+        src_cols = list(dict.fromkeys([by, on] + (left_cols if side == 0 else right_cols)))
+
+        def _f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols: dict[str, pa.Array] = {
+                "side": pa.array(np.full(n, side, np.int8)),
+                by: t[by].combine_chunks(),
+                on: t[on].combine_chunks(),
+            }
+            for c in left_cols:
+                cols[c] = t[c].combine_chunks() if side == 0 else pa.nulls(n, l_types[c])
+            for c, oc in zip(right_cols, out_right):
+                cols[oc] = pa.nulls(n, r_types[c]) if side == 0 else t[c].combine_chunks()
+            out = pa.table(cols)
+            h = fnv1a_hash_strings(out[by].cast(pa.string()))
+            return out.append_column(
+                "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+            )
+
+        return lambda t: _f(t.select(src_cols))
+
+    both = left_ds.map_batches(
+        _align(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right_ds.map_batches(_align(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    def _join(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        lf = df.filter(pl.col("side") == 0).select([by, on] + left_cols).sort(on)
+        rf = df.filter(pl.col("side") == 1).select([by, on] + out_right).sort(on)
+        out = lf.join_asof(rf, on=on, by=by, strategy=strategy)
+        return out.sort([by, on]).to_arrow()
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(both, ["part"], num_parts, _join)
+
+
+def clicks_last_purchase(sf_dir: str, num_parts: int = 32):
+    """As-of join over the event stream: every click event annotated with
+    the same user's most recent purchase at-or-before the click (the
+    point-in-time feature-lookup shape: "state as of the event").
+
+    Both sides come from ONE pruned read of the events table; the oracle is
+    DuckDB's native ``ASOF LEFT JOIN``.
+    """
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def _typed(etype: str, keep: list[str]):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], pa.scalar(etype))).select(keep)
+
+        return _f
+
+    clicks = ds.map_batches(
+        _typed("click", ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    purchases = ds.map_batches(
+        _typed("purchase", ["event_id", "user_id", "ts", "value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        by="user_id",
+        on="ts",
+        left_cols=["event_id"],
+        right_cols=["event_id", "ts", "value"],
+        suffix="_purchase",
+        num_parts=num_parts,
+    )
+    return joined.map_batches(
+        lambda t: t.rename_columns(
+            ["user_id", "ts", "event_id", "purchase_event_id", "purchase_ts", "purchase_value"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # transcripts derived from the documents table (deterministic graft input)
 
