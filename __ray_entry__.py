@@ -109,6 +109,16 @@ def _q_ngram_jaccard_dup_pairs(sf_dir: str):
     )
 
 
+def _q_fuzzy_dedup_documents(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import fuzzy_dedup_documents
+
+    return fuzzy_dedup_documents(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), n=2, tau=0.05
+    )
+
+
 def _q_minhash_lsh_dup_pairs(sf_dir: str):
     import ray.data
 
@@ -517,6 +527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
         "ngram_jaccard_dup_pairs": _q_ngram_jaccard_dup_pairs,
+        "fuzzy_dedup_documents": _q_fuzzy_dedup_documents,
         "minhash_lsh_dup_pairs": _q_minhash_lsh_dup_pairs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
@@ -661,6 +672,33 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(a.s) + len(b.s) > 0)
             SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
             FROM pairs WHERE j >= 0.05
+        """,
+        "fuzzy_dedup_documents": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, source, {_WS_WORDS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(range(1, len(w)),
+                        i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS s
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE len(a.s) + len(b.s) > 0
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    >= 0.05),
+            ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(src, dst) AS (
+              SELECT a, a FROM ed
+              UNION
+              SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+            rep AS (SELECT src AS doc_id, min(dst) AS rep_id
+                    FROM reach GROUP BY src)
+            SELECT d.doc_id,
+                   coalesce(rep.rep_id, d.doc_id) AS rep_id,
+                   coalesce(rep.rep_id, d.doc_id) = d.doc_id AS keep
+            FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
         """,
         "embedding_dup_pairs": """
             SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,

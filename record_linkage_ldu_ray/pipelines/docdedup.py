@@ -682,3 +682,79 @@ def embedding_dup_pairs(
         _add_hash_part(block_col, 16), batch_format="pyarrow", zero_copy_batch=True
     )
     return partitioned_map(withpart, ["part"], 16, _score)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end fuzzy dedup: pairs → connected components → representative
+
+
+def dedup_by_pairs(ds: "ray.data.Dataset", pairs: "ray.data.Dataset", id_col: str = "doc_id"):
+    """Resolve a duplicate-pair edge list into per-document keep/drop
+    decisions — the composition a 100 TB fuzzy-dedup run actually ships:
+    near-dup pairs (from any of the pair operators here) → distributed
+    connected components → one representative per component (the minimum
+    id, the reference's D3 transitive-grouping rule, main_ldu_ldu.py
+    group_matches analog).
+
+    Reuses the engine's hash-partitioned star-contraction CC
+    (``stages/cluster.connected_components``) — ids are zero-padded to a
+    fixed width so the CC's lexicographic min-label IS the numeric min.
+
+    Output: (``id_col``:int64, rep_id:int64, keep:bool), one row per input
+    document; ``keep`` marks the representative (singletons keep
+    themselves).
+    """
+    import pyarrow.compute as pc
+
+    from record_linkage_ldu_ray.config import PipelineConfig
+    from record_linkage_ldu_ray.stages.cluster import connected_components
+
+    W = 20  # max uint64 digits — lexicographic order == numeric order
+
+    def _pad(arr) -> pa.Array:
+        return pc.utf8_lpad(arr.cast(pa.string()), W, padding="0")
+
+    edges = pairs.map_batches(
+        lambda t: pa.table(
+            {"conv_id_a": _pad(t[f"{id_col}_a"]), "conv_id_b": _pad(t[f"{id_col}_b"])}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    universe = ds.select_columns([id_col]).map_batches(
+        lambda t: pa.table({"conv_id": _pad(t[id_col])}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    clusters, _rounds = connected_components(edges, universe, PipelineConfig())
+
+    def _unpad(t: pa.Table) -> pa.Table:
+        doc = t["conv_id"].cast(pa.int64())
+        rep = t["cluster_id"].cast(pa.int64())
+        return pa.table(
+            {
+                id_col: doc,
+                "rep_id": rep,
+                "keep": pc.equal(doc, rep),
+            }
+        )
+
+    return clusters.map_batches(_unpad, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fuzzy_dedup_documents(
+    ds: "ray.data.Dataset",
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    tau: float = 0.05,
+):
+    """Flagship document-dedup composition over the exact n-gram Jaccard
+    pair operator (SQL-oracle-checkable end to end; swap the pair stage for
+    ``minhash_lsh_dup_pairs`` to get the approximate 100 TB path with the
+    identical resolve step)."""
+    pairs = ngram_jaccard_dup_pairs(
+        ds, block_col=block_col, id_col=id_col, text_col=text_col, n=n, tau=tau
+    )
+    return dedup_by_pairs(ds, pairs, id_col=id_col)

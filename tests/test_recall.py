@@ -194,3 +194,41 @@ class TestEmbeddingIvfDedup:
         label_recall = len(label & truth) / len(truth)
         assert cell_recall >= 0.35, (cell_recall, label_recall)
         assert cell_recall > label_recall
+
+
+class TestDedupByPairs:
+    def test_components_and_representatives(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.docdedup import dedup_by_pairs
+
+        # components: {1,2,9}, {3,4}, singletons 5..8; note 9>2 bridges to 1
+        docs = pa.table({"doc_id": list(range(1, 10)), "text": ["x"] * 9})
+        pairs = pa.table(
+            {"doc_id_a": [1, 2, 3], "doc_id_b": [2, 9, 4], "jaccard": [1.0, 1.0, 1.0]}
+        )
+        out = (
+            dedup_by_pairs(ray.data.from_arrow(docs), ray.data.from_arrow(pairs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 9
+        rep = dict(zip(out["doc_id"], out["rep_id"]))
+        assert rep[1] == rep[2] == rep[9] == 1
+        assert rep[3] == rep[4] == 3
+        for d in (5, 6, 7, 8):
+            assert rep[d] == d
+        keep = set(out.loc[out["keep"], "doc_id"])
+        assert keep == {1, 3, 5, 6, 7, 8}
+
+    def test_numeric_min_not_lexicographic(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.docdedup import dedup_by_pairs
+
+        # "10" < "9" lexicographically — zero-padding must give numeric min
+        docs = pa.table({"doc_id": [9, 10], "text": ["a", "a"]})
+        pairs = pa.table({"doc_id_a": [9], "doc_id_b": [10], "jaccard": [1.0]})
+        out = dedup_by_pairs(ray.data.from_arrow(docs), ray.data.from_arrow(pairs)).to_pandas()
+        assert set(out["rep_id"]) == {9}
