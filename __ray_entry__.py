@@ -401,6 +401,12 @@ def _q_clicks_last_purchase(sf_dir: str):
     return clicks_last_purchase(sf_dir)
 
 
+def _q_purchase_click_attribution(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import purchase_click_attribution
+
+    return purchase_click_attribution(sf_dir, window_minutes=1440)
+
+
 def _q_dedup_turns(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
     from record_linkage_ldu_ray.stages.turndedup import dedup_turns
@@ -523,6 +529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_events": _q_sessionize_events,
         "tumbling_window_stats": _q_tumbling_window_stats,
         "clicks_last_purchase": _q_clicks_last_purchase,
+        "purchase_click_attribution": _q_purchase_click_attribution,
         # dedup suite
         "exact_dedup": _q_exact_dedup,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
@@ -638,6 +645,17 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
                             WHERE event_type = 'purchase') r
               ON l.user_id = r.user_id AND r.ts <= l.ts
+        """,
+        "purchase_click_attribution": """
+            SELECT p.user_id, p.ts AS purchase_ts,
+                   p.event_id AS purchase_event_id, p.value,
+                   c.ts AS click_ts, c.event_id AS click_event_id
+            FROM (SELECT event_id, user_id, ts, value FROM events
+                  WHERE event_type = 'purchase') p
+            JOIN (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts BETWEEN p.ts - INTERVAL 1440 MINUTE AND p.ts
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text

@@ -415,6 +415,182 @@ def asof_join(
     return partitioned_map(both, ["part"], num_parts, _join)
 
 
+def range_join(
+    left_ds,
+    right_ds,
+    *,
+    by: str,
+    on: str,
+    lo: int,
+    hi: int,
+    left_cols: list[str],
+    right_cols: list[str],
+    suffix: str = "_r",
+    num_parts: int = 32,
+):
+    """Distributed range (interval) join: every (left, right) pair sharing
+    the same ``by`` key with ``right.on`` in ``[left.on + lo, left.on + hi]``
+    (both bounds inclusive, in the units of ``on`` after int64 cast — µs for
+    timestamps).  Inner join; output size is the true match count.
+
+    Ray Data has no native range join; this is the documented composition —
+    (a) align both sides to one schema with a ``side`` tag, (b) ONE hash
+    exchange keyed by ``by`` so matching keys co-locate, (c) per-partition
+    vectorized probe: right sorted by (key, on) once, each left row's match
+    run found with TWO global ``np.searchsorted`` calls over a composite
+    ``key*span + offset`` int64 (no per-row loop), pairs expanded with
+    repeat/arange — work and memory proportional to output, never a per-key
+    cartesian product.
+
+    Partitioning assumption: all rows of one ``by`` key fit in one
+    partition's task (same bound as ``asof_join``); a pathologically hot key
+    is bounded by its own row count, not the table size.
+
+    Output: (``by``, ``on``, *left_cols, ``on``+suffix, *(c+suffix for
+    right_cols)).
+    """
+    l_schema = left_ds.schema()
+    r_schema = right_ds.schema()
+    l_types = dict(zip(l_schema.names, l_schema.types))
+    r_types = dict(zip(r_schema.names, r_schema.types))
+    out_right = [on + suffix] + [c + suffix for c in right_cols]
+
+    def _align(side: int):
+        src_cols = list(dict.fromkeys([by, on] + (left_cols if side == 0 else right_cols)))
+
+        def _f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols: dict[str, pa.Array] = {
+                "side": pa.array(np.full(n, side, np.int8)),
+                by: t[by].combine_chunks(),
+                on: t[on].combine_chunks(),
+            }
+            for c in left_cols:
+                cols[c] = t[c].combine_chunks() if side == 0 else pa.nulls(n, l_types[c])
+            for c, oc in zip(right_cols, out_right[1:]):
+                cols[oc] = pa.nulls(n, r_types[c]) if side == 0 else t[c].combine_chunks()
+            out = pa.table(cols)
+            h = fnv1a_hash_strings(out[by].cast(pa.string()))
+            return out.append_column(
+                "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+            )
+
+        return lambda t: _f(t.select(src_cols))
+
+    both = left_ds.map_batches(
+        _align(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(right_ds.map_batches(_align(1), batch_format="pyarrow", zero_copy_batch=True))
+
+    on_is_ts = pa.types.is_timestamp(l_types[on])
+
+    def _join(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [(by, l_types[by]), (on, l_types[on])]
+            + [(c, l_types[c]) for c in left_cols]
+            + [(on + suffix, r_types[on])]
+            + [(c + s, r_types[c]) for c, s in zip(right_cols, [suffix] * len(right_cols))]
+        )
+        if len(t) == 0:
+            return out_schema.empty_table()
+        side = t["side"].to_numpy(zero_copy_only=False)
+        onv = t[on].combine_chunks()
+        if on_is_ts:
+            onv = onv.cast(pa.int64())
+        onv = onv.to_numpy(zero_copy_only=False).astype(np.int64)
+        # dense key codes shared by both sides (string-safe via Arrow dict)
+        codes = (
+            pc.dictionary_encode(t[by].combine_chunks())
+            .indices.to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lmask = side == 0
+        li = np.nonzero(lmask)[0]
+        ri = np.nonzero(~lmask)[0]
+        if len(li) == 0 or len(ri) == 0:
+            return out_schema.empty_table()
+        base = int(onv.min())
+        shifted = onv - base
+        span = int(shifted.max()) + 2  # +2: room for exclusive upper probe
+        assert (int(codes.max()) + 1) * span < 2**63, "range_join composite key overflow"
+        rkey = codes[ri] * span + shifted[ri]
+        order = np.argsort(rkey, kind="stable")
+        ri = ri[order]
+        rkey = rkey[order]
+        # right shifted values live in [0, span-2]; clip the window ends so
+        # probes stay inside this key's composite block ([0, span-1]) —
+        # windows entirely outside the data range clamp to zero matches
+        ql = codes[li] * span + np.clip(shifted[li] + lo, 0, span - 1)
+        qh = codes[li] * span + np.clip(shifted[li] + hi, -1, span - 2) + 1
+        lo_pos = np.searchsorted(rkey, ql, side="left")
+        hi_pos = np.searchsorted(rkey, qh, side="left")
+        cnt = np.maximum(hi_pos - lo_pos, 0)
+        lidx = np.repeat(li, cnt)
+        starts = np.cumsum(cnt) - cnt
+        ridx = ri[
+            np.repeat(lo_pos, cnt) + (np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(starts, cnt))
+        ]
+        cols: dict[str, pa.Array] = {
+            by: t[by].take(pa.array(lidx)),
+            on: t[on].take(pa.array(lidx)),
+        }
+        for c in left_cols:
+            cols[c] = t[c].take(pa.array(lidx))
+        cols[on + suffix] = t[on].take(pa.array(ridx))
+        for c in right_cols:
+            cols[c + suffix] = t[c + suffix].take(pa.array(ridx))
+        return pa.table(cols)
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(both, ["part"], num_parts, _join)
+
+
+def purchase_click_attribution(sf_dir: str, window_minutes: int = 60, num_parts: int = 32):
+    """Range join over the event stream: every purchase paired with ALL of
+    the same user's clicks in the preceding ``window_minutes`` (inclusive
+    both ends) — the classic attribution-window shape.  Inner join; oracle
+    is a plain SQL inequality join.
+    """
+    cols = ["event_id", "user_id", "event_type", "ts", "value"]
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=cols)
+
+    def _typed(etype: str, keep: list[str]):
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["event_type"], pa.scalar(etype))).select(keep)
+
+        return _f
+
+    purchases = ds.map_batches(
+        _typed("purchase", ["event_id", "user_id", "ts", "value"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    clicks = ds.map_batches(
+        _typed("click", ["event_id", "user_id", "ts"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = range_join(
+        purchases,
+        clicks,
+        by="user_id",
+        on="ts",
+        lo=-window_minutes * 60_000_000,  # µs
+        hi=0,
+        left_cols=["event_id", "value"],
+        right_cols=["event_id"],
+        suffix="_click",
+        num_parts=num_parts,
+    )
+    return joined.map_batches(
+        lambda t: t.rename_columns(
+            ["user_id", "purchase_ts", "purchase_event_id", "value", "click_ts", "click_event_id"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def clicks_last_purchase(sf_dir: str, num_parts: int = 32):
     """As-of join over the event stream: every click event annotated with
     the same user's most recent purchase at-or-before the click (the

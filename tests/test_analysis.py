@@ -269,3 +269,85 @@ class TestAsofJoin:
         assert np.isnan(got["rv_r"][0])        # t=5 before first right t=8
         assert got["rv_r"][1] == 0.5           # t=10 sees right t=8
         assert np.isnan(got["rv_r"][2])        # k=2 right row at t=99 is after
+
+
+class TestRangeJoin:
+    def test_matches_bruteforce(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.relational import range_join
+
+        rng = np.random.default_rng(11)
+        nl, nr = 300, 400
+        left = pd.DataFrame(
+            {
+                "k": rng.integers(0, 10, nl).astype("int64"),
+                "t": rng.integers(0, 5_000, nl).astype("int64"),
+                "lid": np.arange(nl, dtype="int64"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "k": rng.integers(0, 10, nr).astype("int64"),
+                "t": rng.integers(0, 5_000, nr).astype("int64"),
+                "rid": np.arange(nr, dtype="int64"),
+            }
+        )
+        lo, hi = -200, 100
+        got = (
+            range_join(
+                ray.data.from_arrow(pa.Table.from_pandas(left)).repartition(5),
+                ray.data.from_arrow(pa.Table.from_pandas(right)).repartition(3),
+                by="k", on="t", lo=lo, hi=hi,
+                left_cols=["lid"], right_cols=["rid"], num_parts=4,
+            )
+            .to_pandas()
+            .sort_values(["lid", "rid_r"])
+            .reset_index(drop=True)
+        )
+        want = left.merge(right, on="k", suffixes=("", "_r"))
+        want = want[(want["t_r"] >= want["t"] + lo) & (want["t_r"] <= want["t"] + hi)]
+        want = want.sort_values(["lid", "rid"]).reset_index(drop=True)
+        assert len(got) == len(want)
+        assert (got["lid"].to_numpy() == want["lid"].to_numpy()).all()
+        assert (got["rid_r"].to_numpy() == want["rid"].to_numpy()).all()
+        assert (got["t_r"].to_numpy() == want["t_r"].to_numpy()).all()
+
+    def test_window_outside_data_range(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.relational import range_join
+
+        left = pa.table({"k": [1, 1, 1], "t": [0, 50, 1000], "lid": [0, 1, 2]})
+        right = pa.table({"k": [1], "t": [50], "rid": [7]})
+        got = (
+            range_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                by="k", on="t", lo=-10, hi=10,
+                left_cols=["lid"], right_cols=["rid"], num_parts=2,
+            )
+            .to_pandas()
+        )
+        # only t=50 matches; windows entirely below (t=0 → [-10,10]) and
+        # entirely above (t=1000) the right range must clamp to zero matches
+        assert got["lid"].tolist() == [1]
+        assert got["rid_r"].tolist() == [7]
+
+    def test_inclusive_bounds(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.relational import range_join
+
+        left = pa.table({"k": [1], "t": [100], "lid": [0]})
+        right = pa.table({"k": [1, 1, 1, 1], "t": [89, 90, 110, 111], "rid": [0, 1, 2, 3]})
+        got = (
+            range_join(
+                ray.data.from_arrow(left), ray.data.from_arrow(right),
+                by="k", on="t", lo=-10, hi=10,
+                left_cols=["lid"], right_cols=["rid"], num_parts=2,
+            )
+            .to_pandas()
+            .sort_values("rid_r")
+        )
+        assert got["rid_r"].tolist() == [1, 2]  # 90 and 110 inclusive; 89/111 out
