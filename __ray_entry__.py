@@ -31,6 +31,32 @@ def _sql_list(words) -> str:
 _STOP_SQL = _sql_list(ENGLISH_STOPWORDS)
 _WS_WORDS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+
+def _hash_split_sql() -> str:
+    # thresholds from the SAME function the Ray operator uses
+    from record_linkage_ldu_ray.pipelines.sampling import _hex_threshold
+
+    t1, t2 = _hex_threshold(0.8), _hex_threshold(0.9)
+    return f"""
+        SELECT doc_id,
+               CASE WHEN md5('split-v1' || CAST(doc_id AS VARCHAR)) < '{t1}'
+                      THEN 'train'
+                    WHEN md5('split-v1' || CAST(doc_id AS VARCHAR)) < '{t2}'
+                      THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+
+def _hash_sample_sql() -> str:
+    from record_linkage_ldu_ray.pipelines.sampling import _hex_threshold
+
+    thr = _hex_threshold(0.25)
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE md5('sample-v1' || CAST(doc_id AS VARCHAR)) < '{thr}'
+    """
+
 # SQL replica of pipelines.relational.transcripts_from_documents (the
 # deterministic documents → transcripts explode: 8-token turns, role by
 # parity with every 5th turn a tool turn) — shared by transcript-shaped
@@ -153,6 +179,36 @@ def _q_token_counts(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.textstats import token_counts
 
     return token_counts(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_hash_split(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.sampling import hash_split
+
+    return hash_split(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
+def _q_hash_sample(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.sampling import hash_sample
+
+    return hash_sample(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]),
+        0.25,
+    )
+
+
+def _q_vocab_top_tokens(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import vocab_top_tokens
+
+    return vocab_top_tokens(ray.data.read_parquet(f"{sf_dir}/documents.parquet"), k=100)
 
 
 def _q_quality_scores(sf_dir: str):
@@ -540,6 +596,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         # text analysis
         "token_counts": _q_token_counts,
+        "vocab_top_tokens": _q_vocab_top_tokens,
+        "hash_split": _q_hash_split,
+        "hash_sample": _q_hash_sample,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "content_fingerprints": _q_content_fingerprints,
@@ -734,6 +793,18 @@ def oracle_sql() -> dict[str, str]:
                      AS n_bpe_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
+        """,
+        "hash_split": _hash_split_sql(),
+        "hash_sample": _hash_sample_sql(),
+        "vocab_top_tokens": f"""
+            WITH w AS (
+              SELECT doc_id, unnest({_WS_WORDS}) AS token FROM documents)
+            SELECT token,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM w GROUP BY token
+            ORDER BY n_occurrences DESC, token
+            LIMIT 100
         """,
         "quality_scores": f"""
             WITH w AS (SELECT doc_id, text, {_WS_WORDS} AS words FROM documents)

@@ -188,6 +188,93 @@ def content_fingerprints(ds: "ray.data.Dataset", id_col: str = "doc_id", text_co
     )
 
 
+def vocab_top_tokens(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 100,
+    num_parts: int = 32,
+):
+    """Corpus vocabulary heavy-hitters: the ``k`` most frequent whitespace
+    tokens with total occurrence and document-frequency counts (the vocab /
+    stopword-discovery pass of a pre-training pipeline).
+
+    Three-level aggregation so no stage ever sees the full token stream:
+    (1) per-batch partial counts (one vectorized polars explode+group_by —
+    the exchange carries one row per DISTINCT token per batch, not one row
+    per occurrence), (2) one hash exchange keyed by token with per-partition
+    sum + LOCAL top-k (each partition owns its tokens exclusively, so its
+    local top-k is exact), (3) bounded driver merge of ``num_parts × k``
+    rows.  Deterministic tie-break: count DESC, token ASC.
+
+    A document's rows never split across batches, so summing per-batch
+    distinct-doc counts gives the exact document frequency.
+
+    Output: (token:string, n_occurrences:int64, n_docs:int64), exactly
+    ``k`` rows (fewer if the vocabulary is smaller).
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                "doc": pl.from_arrow(t[id_col].combine_chunks()),
+                "token": pl.from_arrow(t[text_col].combine_chunks()).str.extract_all(
+                    r"\S+"
+                ),
+            }
+        )
+        agg = (
+            df.explode("token")
+            .drop_nulls("token")
+            .group_by("token")
+            .agg(
+                n_occurrences=pl.len().cast(pl.Int64),
+                n_docs=pl.col("doc").n_unique().cast(pl.Int64),
+            )
+        )
+        out = agg.to_arrow()
+        h = fnv1a_hash_strings(out["token"].combine_chunks())
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("token", pa.string()), ("n_occurrences", pa.int64()), ("n_docs", pa.int64())]
+            ).empty_table()
+        agg = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .group_by("token")
+            .agg(pl.col("n_occurrences").sum(), pl.col("n_docs").sum())
+            .sort(["n_occurrences", "token"], descending=[True, False])
+            .head(k)
+        )
+        return agg.to_arrow().cast(
+            pa.schema(
+                [("token", pa.string()), ("n_occurrences", pa.int64()), ("n_docs", pa.int64())]
+            )
+        )
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    parts = ray.get(partitioned_map(partials, ["part"], num_parts, _merge).to_arrow_refs())
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return pa.schema(
+            [("token", pa.string()), ("n_occurrences", pa.int64()), ("n_docs", pa.int64())]
+        ).empty_table()
+    merged = pa.concat_tables(parts)
+    occ = merged["n_occurrences"].to_numpy()
+    toks = np.asarray(merged["token"].to_pylist(), dtype=object)
+    order = np.lexsort((toks, -occ))[:k]
+    return merged.take(pa.array(order))
+
+
 def winnowing_fingerprints(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",

@@ -1,0 +1,103 @@
+"""Deterministic sampling/splitting and vocabulary heavy-hitters."""
+
+import numpy as np
+import pyarrow as pa
+
+
+class TestHashSplit:
+    def test_deterministic_and_partition_invariant(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.sampling import hash_split
+
+        ids = pa.table({"doc_id": list(range(1000))})
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = (
+            hash_split(ray.data.from_arrow(ids), fr)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            hash_split(ray.data.from_arrow(ids).random_shuffle(seed=3).repartition(7), fr)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+        frac = a["split"].value_counts(normalize=True)
+        assert abs(frac["train"] - 0.8) < 0.05
+        assert abs(frac["val"] - 0.1) < 0.04
+        assert abs(frac["test"] - 0.1) < 0.04
+
+    def test_salt_changes_assignment(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.sampling import hash_split
+
+        ids = pa.table({"doc_id": list(range(500))})
+        fr = {"a": 0.5, "b": 0.5}
+        s1 = hash_split(ray.data.from_arrow(ids), fr, salt="x").to_pandas()
+        s2 = hash_split(ray.data.from_arrow(ids), fr, salt="y").to_pandas()
+        merged = s1.merge(s2, on="doc_id")
+        assert (merged["split_x"] != merged["split_y"]).any()
+
+
+class TestHashSample:
+    def test_subset_and_fraction(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.sampling import hash_sample
+
+        t = pa.table({"doc_id": list(range(2000)), "v": list(range(2000))})
+        out = hash_sample(ray.data.from_arrow(t), 0.3).to_pandas()
+        assert abs(len(out) / 2000 - 0.3) < 0.05
+        # sample at a smaller fraction is a strict subset (nested samples)
+        sub = hash_sample(ray.data.from_arrow(t), 0.1).to_pandas()
+        assert set(sub["doc_id"]) <= set(out["doc_id"])
+
+
+class TestVocabTopTokens:
+    def test_counts_and_tiebreak(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import vocab_top_tokens
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["b a a", "a  b\tc", None],
+            }
+        )
+        out = vocab_top_tokens(ray.data.from_arrow(docs), k=2, num_parts=4)
+        df = out.to_pandas()
+        # a: 3 occurrences over 2 docs; b and c tie at lower counts → 'b' wins
+        assert df["token"].tolist() == ["a", "b"]
+        assert df["n_occurrences"].tolist() == [3, 2]
+        assert df["n_docs"].tolist() == [2, 2]
+
+    def test_matches_bruteforce(self, ray_session):
+        import collections
+
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import vocab_top_tokens
+
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(40)]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(1, 30)))
+            for _ in range(300)
+        ]
+        docs = pa.table({"doc_id": list(range(300)), "text": texts})
+        out = vocab_top_tokens(ray.data.from_arrow(docs).repartition(6), k=10).to_pandas()
+
+        occ: collections.Counter = collections.Counter()
+        dfreq: collections.Counter = collections.Counter()
+        for s in texts:
+            ws = s.split()
+            occ.update(ws)
+            dfreq.update(set(ws))
+        want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        assert list(zip(out["token"], out["n_occurrences"])) == want
+        assert out["n_docs"].tolist() == [dfreq[t] for t, _ in want]
