@@ -181,6 +181,22 @@ def _q_token_counts(sf_dir: str):
     return token_counts(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import dedup_keep_best
+
+    return dedup_keep_best(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_source_length_quantiles(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import source_length_quantiles
+
+    return source_length_quantiles(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_hash_split(sf_dir: str):
     import ray.data
 
@@ -599,6 +615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_top_tokens": _q_vocab_top_tokens,
         "hash_split": _q_hash_split,
         "hash_sample": _q_hash_sample,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "source_length_quantiles": _q_source_length_quantiles,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "content_fingerprints": _q_content_fingerprints,
@@ -796,6 +814,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hash_split": _hash_split_sql(),
         "hash_sample": _hash_sample_sql(),
+        "dedup_keep_best": f"""
+            WITH n AS (
+              SELECT doc_id, length(text) AS L,
+                     lower(array_to_string({_WS_WORDS}, ' ')) AS norm
+              FROM documents),
+            r AS (
+              SELECT doc_id,
+                     row_number() OVER (PARTITION BY norm
+                                        ORDER BY L DESC, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY norm) AS gs
+              FROM n)
+            SELECT doc_id, CAST(gs AS BIGINT) AS n_dups FROM r WHERE rn = 1
+        """,
+        "source_length_quantiles": f"""
+            WITH w AS (
+              SELECT source, CAST(len({_WS_WORDS}) AS BIGINT) AS n
+              FROM documents)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   quantile_disc(n, 0.5) AS p50_words,
+                   quantile_disc(n, 0.9) AS p90_words,
+                   quantile_disc(n, 0.99) AS p99_words
+            FROM w GROUP BY source
+        """,
         "vocab_top_tokens": f"""
             WITH w AS (
               SELECT doc_id, unnest({_WS_WORDS}) AS token FROM documents)

@@ -73,6 +73,71 @@ def exact_dedup(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = 
     return partitioned_map(ds, ["part"], _NUM_PARTS, _dedup)
 
 
+def dedup_keep_best(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """Priority-rule dedup: group documents by NORMALIZED text (lower-cased,
+    whitespace-collapsed) and keep the best variant per group — longest raw
+    text, ties to the lowest id.  The "keep the richest record" policy of a
+    curation pipeline (vs ``exact_dedup``'s keep-first), reference D2 rule
+    shape with an explicit priority (main_ldu_ldu.py keeps first occurrence).
+
+    Physical plan: per-batch partial winners first (one row per DISTINCT
+    norm per batch — the exchange never carries raw text, only the norm key,
+    winner id, winner length, count), then one hash exchange keyed by the
+    norm's 8-byte hash, then a per-partition merge.  Winner selection is
+    associative, so batch-level pre-aggregation is exact.
+
+    Output: (``id_col``, n_dups:int64) — one row per group, the kept id.
+    """
+
+    def _norm(texts: pa.ChunkedArray) -> pl.Series:
+        s = pl.from_arrow(texts.combine_chunks())
+        return s.str.to_lowercase().str.strip_chars().str.replace_all(r"\s+", " ")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                id_col: pl.from_arrow(t[id_col].combine_chunks()),
+                "L": pl.from_arrow(t[text_col].combine_chunks()).str.len_chars().cast(pl.Int64),
+                "norm": _norm(t[text_col]),
+            }
+        )
+        agg = (
+            df.sort(["norm", "L", id_col], descending=[False, True, False])
+            .group_by("norm", maintain_order=True)
+            .agg(
+                pl.col(id_col).first(),
+                pl.col("L").first(),
+                cnt=pl.len().cast(pl.Int64),
+            )
+        )
+        out = agg.to_arrow()
+        h = fnv1a_hash_strings(out["norm"].combine_chunks())
+        return out.append_column(
+            "part", pa.array((h % np.uint64(_NUM_PARTS)).astype(np.int32), pa.int32())
+        )
+
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema([(id_col, pa.int64()), ("n_dups", pa.int64())]).empty_table()
+        agg = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .sort(["norm", "L", id_col], descending=[False, True, False])
+            .group_by("norm", maintain_order=True)
+            .agg(pl.col(id_col).first(), n_dups=pl.col("cnt").sum())
+            .select([id_col, "n_dups"])
+            .sort(id_col)
+        )
+        return agg.to_arrow()
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(partials, ["part"], _NUM_PARTS, _merge)
+
+
 # ---------------------------------------------------------------------------
 # shared: tokenization + canonical pair enumeration helpers
 

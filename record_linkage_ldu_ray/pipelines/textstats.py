@@ -275,6 +275,88 @@ def vocab_top_tokens(
     return merged.take(pa.array(order))
 
 
+def source_length_quantiles(
+    ds: "ray.data.Dataset",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ps: tuple[float, ...] = (0.5, 0.9, 0.99),
+    num_parts: int = 16,
+):
+    """Per-group EXACT discrete quantiles of document word count — the
+    length-distribution audit a curation pipeline runs per corpus shard.
+
+    Exact quantiles normally need every value of a group in one place; for
+    an integer-valued statistic the distribution compresses losslessly:
+    (1) per-batch partial histogram (one row per distinct (group, n_words)
+    per batch — the exchange carries counts, never documents), (2) one hash
+    exchange keyed by group, (3) per-partition quantile read-off from the
+    merged histogram.  Matches DuckDB ``quantile_disc`` exactly (element at
+    ``max(1, ceil(p*N))``, 1-based, verified for all N≤400).
+
+    Output: (group_col, n_docs:int64, p50_words/p90_words/p99_words:int64).
+    """
+    pnames = [f"p{str(p)[2:].ljust(2, '0')}_words" for p in ps]  # 0.5 → p50_words
+
+    def _partial(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t[text_col].combine_chunks())
+        n = (
+            s.str.strip_chars()
+            .str.replace_all(r"\s+", " ")
+            .str.split(" ")
+            .list.eval(pl.element().filter(pl.element() != ""))
+            .list.len()
+            .cast(pl.Int64)
+        )
+        df = pl.DataFrame({group_col: pl.from_arrow(t[group_col].combine_chunks()), "n": n})
+        agg = df.group_by([group_col, "n"]).agg(cnt=pl.len().cast(pl.Int64))
+        out = agg.to_arrow()
+        h = fnv1a_hash_strings(out[group_col].combine_chunks().cast(pa.string()))
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    partials = ds.select_columns([group_col, text_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    out_schema = pa.schema(
+        [(group_col, pa.string()), ("n_docs", pa.int64())]
+        + [(nm, pa.int64()) for nm in pnames]
+    )
+
+    def _quantiles(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .group_by([group_col, "n"])
+            .agg(pl.col("cnt").sum())
+            .sort([group_col, "n"])
+        )
+        groups = df[group_col].to_numpy()
+        ns = df["n"].to_numpy()
+        cnts = df["cnt"].to_numpy()
+        new = np.ones(len(df), bool)
+        new[1:] = groups[1:] != groups[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(df))
+        rows = {group_col: [], "n_docs": [], **{nm: [] for nm in pnames}}
+        for s0, e0 in zip(starts, ends):  # one iteration per GROUP (≤ #sources)
+            cum = np.cumsum(cnts[s0:e0])
+            total = int(cum[-1])
+            rows[group_col].append(groups[s0])
+            rows["n_docs"].append(total)
+            for p, nm in zip(ps, pnames):
+                target = max(1, int(np.ceil(np.float64(p) * total)))
+                rows[nm].append(int(ns[s0 + np.searchsorted(cum, target, side="left")]))
+        return pa.table(rows, schema=out_schema)
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(partials, ["part"], num_parts, _quantiles)
+
+
 def winnowing_fingerprints(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",

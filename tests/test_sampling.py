@@ -57,6 +57,75 @@ class TestHashSample:
         assert set(sub["doc_id"]) <= set(out["doc_id"])
 
 
+class TestDedupKeepBest:
+    def test_longest_wins_then_lowest_id(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.docdedup import dedup_keep_best
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": [
+                    "Hello  World",      # norm "hello world", L=12
+                    "hello world",       # same norm, L=11 → loses on length
+                    "HELLO   WORLD ",    # same norm, L=14 → wins
+                    "other doc",
+                    "Other    Doc",      # norm "other doc", L=12 → wins
+                    "unique",
+                ],
+            }
+        )
+        out = (
+            dedup_keep_best(ray.data.from_arrow(docs).repartition(3))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [3, 5, 6]
+        assert out["n_dups"].tolist() == [3, 2, 1]
+
+    def test_id_tiebreak_across_batches(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.docdedup import dedup_keep_best
+
+        # equal lengths → lowest id wins, regardless of batch placement
+        docs = pa.table({"doc_id": [9, 2, 5], "text": ["same txt", "Same Txt", "SAME TXT"]})
+        out = dedup_keep_best(ray.data.from_arrow(docs).repartition(3)).to_pandas()
+        assert out["doc_id"].tolist() == [2]
+        assert out["n_dups"].tolist() == [3]
+
+
+class TestSourceLengthQuantiles:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import source_length_quantiles
+
+        rng = np.random.default_rng(17)
+        n = 600
+        srcs = [f"s{int(i)}" for i in rng.integers(0, 5, n)]
+        texts = [" ".join(["w"] * int(k)) for k in rng.integers(1, 120, n)]
+        docs = pa.table({"doc_id": list(range(n)), "source": srcs, "text": texts})
+        out = (
+            source_length_quantiles(ray.data.from_arrow(docs).repartition(8))
+            .to_pandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        lens: dict[str, list[int]] = {}
+        for s, t in zip(srcs, texts):
+            lens.setdefault(s, []).append(len(t.split()))
+        for _, row in out.iterrows():
+            vals = np.sort(lens[row["source"]])
+            N = len(vals)
+            assert row["n_docs"] == N
+            for p, col in ((0.5, "p50_words"), (0.9, "p90_words"), (0.99, "p99_words")):
+                want = vals[max(1, int(np.ceil(np.float64(p) * N))) - 1]
+                assert row[col] == want, (row["source"], col)
+
+
 class TestVocabTopTokens:
     def test_counts_and_tiebreak(self, ray_session):
         import ray.data
