@@ -227,6 +227,14 @@ def _q_vocab_top_tokens(sf_dir: str):
     return vocab_top_tokens(ray.data.read_parquet(f"{sf_dir}/documents.parquet"), k=100)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(ray.data.read_parquet(f"{sf_dir}/documents.parquet"), k=3)
+
+
 def _q_quality_scores(sf_dir: str):
     import ray.data
 
@@ -613,6 +621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_counts": _q_token_counts,
         "vocab_top_tokens": _q_vocab_top_tokens,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "hash_split": _q_hash_split,
         "hash_sample": _q_hash_sample,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -811,6 +820,26 @@ def oracle_sql() -> dict[str, str]:
                      AS n_bpe_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
+        """,
+        "tfidf_top_terms": f"""
+            WITH w AS (
+              SELECT doc_id, unnest({_WS_WORDS}) AS token FROM documents),
+            tf AS (
+              SELECT doc_id, token, count(*) AS tf FROM w GROUP BY doc_id, token),
+            dfreq AS (
+              SELECT token, count(DISTINCT doc_id) AS df FROM w GROUP BY token),
+            corpus AS (SELECT count(*) AS n FROM documents),
+            sc AS (
+              SELECT tf.doc_id, tf.token, tf.tf,
+                     tf.tf * (ln((1.0 + corpus.n) / (1.0 + dfreq.df)) + 1.0) AS tfidf
+              FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN corpus),
+            r AS (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY tfidf DESC, token) AS rn
+              FROM sc)
+            SELECT doc_id, token, CAST(tf AS BIGINT) AS tf,
+                   round(tfidf, 6) AS tfidf
+            FROM r WHERE rn <= 3
         """,
         "hash_split": _hash_split_sql(),
         "hash_sample": _hash_sample_sql(),

@@ -357,6 +357,82 @@ def source_length_quantiles(
     return partitioned_map(partials, ["part"], num_parts, _quantiles)
 
 
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    min_df: int = 1,
+    max_vocab: int = 1_000_000,
+):
+    """Per-document top-``k`` TF-IDF terms (smooth IDF,
+    ``tf * (ln((1+N)/(1+df)) + 1)`` — the sklearn formulation, public).
+
+    Two-pass broadcast pattern: (1) document frequencies aggregate exactly
+    like :func:`vocab_top_tokens` (per-batch partials → one hash exchange →
+    bounded driver merge) pruned to ``df >= min_df`` and the ``max_vocab``
+    most frequent terms, (2) the (token → df) table is put in the object
+    store ONCE (``ray.put``) and every scoring task reads the same copy —
+    never re-pickled per batch, never a shuffle join.  Scale knobs: at
+    100 TB the vocabulary must be pruned (min_df / max_vocab) to stay
+    broadcastable — the standard practice this mirrors.
+
+    Output: (doc_id, token:string, tf:int64, tfidf:double rounded 6dp),
+    ≤ k rows per document, ties broken by token ASC.
+    """
+    # ---- pass 1: document frequencies + corpus size ------------------------
+    n_total = ds.count()
+    df_tbl = vocab_top_tokens(ds, id_col=id_col, text_col=text_col, k=max_vocab)
+    if min_df > 1:
+        import pyarrow.compute as pc
+
+        df_tbl = df_tbl.filter(pc.greater_equal(df_tbl["n_docs"], pa.scalar(min_df)))
+    df_ref = ray.put(
+        pl.DataFrame(
+            {
+                "token": pl.from_arrow(df_tbl["token"].combine_chunks()),
+                "df": pl.from_arrow(df_tbl["n_docs"].combine_chunks()),
+            }
+        )
+    )
+
+    # ---- pass 2: per-batch score + per-doc top-k ---------------------------
+    def _score(t: pa.Table) -> pa.Table:
+        dfmap: pl.DataFrame = ray.get(df_ref)
+        toks = (
+            pl.DataFrame(
+                {
+                    id_col: pl.from_arrow(t[id_col].combine_chunks()),
+                    "token": pl.from_arrow(t[text_col].combine_chunks()).str.extract_all(
+                        r"\S+"
+                    ),
+                }
+            )
+            .explode("token")
+            .drop_nulls("token")
+        )
+        tf = toks.group_by([id_col, "token"]).agg(tf=pl.len().cast(pl.Int64))
+        joined = tf.join(dfmap, on="token", how="inner")
+        dfv = joined["df"].to_numpy().astype(np.float64)
+        tfv = joined["tf"].to_numpy().astype(np.float64)
+        tfidf = tfv * (np.log((1.0 + n_total) / (1.0 + dfv)) + 1.0)
+        # rank by the raw double (as SQL's row_number does), output rounded
+        scored = joined.with_columns(
+            pl.Series("_raw", tfidf), pl.Series("tfidf", np.round(tfidf, 6))
+        )
+        top = (
+            scored.sort([id_col, "_raw", "token"], descending=[False, True, False])
+            .group_by(id_col, maintain_order=True)
+            .head(k)
+            .select([id_col, "token", "tf", "tfidf"])
+        )
+        return top.to_arrow()
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def winnowing_fingerprints(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",

@@ -57,6 +57,59 @@ class TestHashSample:
         assert set(sub["doc_id"]) <= set(out["doc_id"])
 
 
+class TestTfidfTopTerms:
+    def test_matches_bruteforce(self, ray_session):
+        import collections
+        import math
+
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import tfidf_top_terms
+
+        texts = {
+            1: "apple banana apple cherry",
+            2: "banana banana date",
+            3: "apple cherry cherry cherry egg",
+            4: "fig",
+        }
+        docs = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+        out = (
+            tfidf_top_terms(ray.data.from_arrow(docs).repartition(2), k=2)
+            .to_pandas()
+            .sort_values(["doc_id", "tfidf", "token"], ascending=[True, False, True])
+            .reset_index(drop=True)
+        )
+
+        dfreq: collections.Counter = collections.Counter()
+        for s in texts.values():
+            dfreq.update(set(s.split()))
+        N = len(texts)
+        want = []
+        for d, s in texts.items():
+            tf = collections.Counter(s.split())
+            scored = sorted(
+                (
+                    (tok, c, c * (math.log((1.0 + N) / (1.0 + dfreq[tok])) + 1.0))
+                    for tok, c in tf.items()
+                ),
+                key=lambda x: (-x[2], x[0]),
+            )[:2]
+            want += [(d, tok, c, round(sc, 6)) for tok, c, sc in scored]
+        got = list(
+            zip(out["doc_id"], out["token"], out["tf"], out["tfidf"].round(6))
+        )
+        assert got == want
+
+    def test_min_df_prunes(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import tfidf_top_terms
+
+        docs = pa.table({"doc_id": [1, 2], "text": ["rare shared", "shared"]})
+        out = tfidf_top_terms(ray.data.from_arrow(docs), k=5, min_df=2).to_pandas()
+        assert set(out["token"]) == {"shared"}
+
+
 class TestDedupKeepBest:
     def test_longest_wins_then_lowest_id(self, ray_session):
         import ray.data
