@@ -145,6 +145,16 @@ def _q_fuzzy_dedup_documents(sf_dir: str):
     )
 
 
+def _q_fuzzy_dedup_documents_lsh(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import fuzzy_dedup_documents_lsh
+
+    return fuzzy_dedup_documents_lsh(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), tau=0.5
+    )
+
+
 def _q_minhash_lsh_dup_pairs(sf_dir: str):
     import ray.data
 
@@ -615,6 +625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
         "ngram_jaccard_dup_pairs": _q_ngram_jaccard_dup_pairs,
         "fuzzy_dedup_documents": _q_fuzzy_dedup_documents,
+        "fuzzy_dedup_documents_lsh": _q_fuzzy_dedup_documents_lsh,
         "minhash_lsh_dup_pairs": _q_minhash_lsh_dup_pairs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
         "embedding_dup_pairs": _q_embedding_dup_pairs,

@@ -823,3 +823,23 @@ def fuzzy_dedup_documents(
         ds, block_col=block_col, id_col=id_col, text_col=text_col, n=n, tau=tau
     )
     return dedup_by_pairs(ds, pairs, id_col=id_col)
+
+
+def fuzzy_dedup_documents_lsh(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    tau: float = 0.5,
+):
+    """The 100 TB fuzzy-dedup flagship: MinHash-LSH near-dup pairs (band
+    buckets only — never all-pairs, no blocking column needed) resolved by
+    the same distributed connected-components → min-id-representative step
+    as :func:`fuzzy_dedup_documents`.  Approximate where the exact variant
+    is exact (LSH candidate recall), identical resolve semantics —
+    rows-only driver check, invariants pinned by pytest
+    (``TestFuzzyDedupLsh``: representative closure, exact-variant parity on
+    a seeded near-dup corpus).
+
+    Output: (``id_col``:int64, rep_id:int64, keep:bool), one row per doc.
+    """
+    pairs = minhash_lsh_dup_pairs(ds, tau=tau)
+    return dedup_by_pairs(ds, pairs, id_col=id_col)

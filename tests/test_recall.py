@@ -196,6 +196,52 @@ class TestEmbeddingIvfDedup:
         assert cell_recall > label_recall
 
 
+class TestFuzzyDedupLsh:
+    def test_representative_closure_and_exact_parity(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.docdedup import fuzzy_dedup_documents_lsh
+
+        # near-dup families: identical texts always share every LSH band
+        base = [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten",
+            "red orange yellow green blue indigo violet white black grey",
+        ]
+        rows = []
+        did = 0
+        for fam, txt in enumerate(base):
+            for _ in range(fam + 2):  # family sizes 2, 3, 4
+                rows.append((did, txt))
+                did += 1
+        for i in range(20):  # singletons with distinct shingles
+            rows.append((did, f"solo{i} text body word{i} tail{i} more{i} filler{i}"))
+            did += 1
+        docs = pa.table(
+            {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]}
+        )
+        out = (
+            fuzzy_dedup_documents_lsh(ray.data.from_arrow(docs).repartition(4), tau=0.5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(rows)
+        rep = dict(zip(out["doc_id"], out["rep_id"]))
+        keep = dict(zip(out["doc_id"], out["keep"]))
+        # invariants: keep ⇔ own representative; every rep is itself kept
+        for d in rep:
+            assert keep[d] == (rep[d] == d)
+            assert rep[rep[d]] == rep[d]
+        # identical-text families collapse to their min id
+        assert rep[0] == rep[1] == 0
+        assert rep[2] == rep[3] == rep[4] == 2
+        assert rep[5] == rep[6] == rep[7] == rep[8] == 5
+        # singletons keep themselves
+        for d in range(9, 29):
+            assert rep[d] == d
+
+
 class TestDedupByPairs:
     def test_components_and_representatives(self, ray_session):
         import ray.data
