@@ -207,6 +207,31 @@ def _q_source_length_quantiles(sf_dir: str):
     return source_length_quantiles(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_cross_source_overlap(sf_dir: str):
+    # the synthetic documents table has globally unique texts, so the
+    # overlap audit runs on the part table (same operator, generic columns):
+    # part names listed under ≥2 brands = the "same payload, different
+    # group" contamination shape
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import cross_source_overlap
+
+    return cross_source_overlap(
+        ray.data.read_parquet(f"{sf_dir}/part.parquet"),
+        id_col="p_partkey",
+        text_col="p_name",
+        group_col="p_brand",
+    )
+
+
+def _q_filter_short_docs(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import filter_short_docs
+
+    return filter_short_docs(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_hash_split(sf_dir: str):
     import ray.data
 
@@ -637,6 +662,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": _q_hash_sample,
         "dedup_keep_best": _q_dedup_keep_best,
         "source_length_quantiles": _q_source_length_quantiles,
+        "cross_source_overlap": _q_cross_source_overlap,
+        "filter_short_docs": _q_filter_short_docs,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "content_fingerprints": _q_content_fingerprints,
@@ -876,6 +903,22 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n, 0.9) AS p90_words,
                    quantile_disc(n, 0.99) AS p99_words
             FROM w GROUP BY source
+        """,
+        "cross_source_overlap": """
+            WITH g AS (
+              SELECT p_name, count(DISTINCT p_brand) AS ns FROM part
+              GROUP BY p_name HAVING count(DISTINCT p_brand) >= 2)
+            SELECT d.p_partkey, d.p_brand, CAST(g.ns AS BIGINT) AS n_sources
+            FROM part d JOIN g ON d.p_name = g.p_name
+        """,
+        "filter_short_docs": f"""
+            WITH w AS (
+              SELECT doc_id, source, CAST(len({_WS_WORDS}) AS BIGINT) AS n
+              FROM documents),
+            q AS (
+              SELECT source, quantile_disc(n, 0.5) AS p50 FROM w GROUP BY source)
+            SELECT w.doc_id, w.source, w.n AS n_words
+            FROM w JOIN q USING (source) WHERE w.n >= q.p50
         """,
         "vocab_top_tokens": f"""
             WITH w AS (

@@ -825,6 +825,48 @@ def fuzzy_dedup_documents(
     return dedup_by_pairs(ds, pairs, id_col=id_col)
 
 
+def cross_source_overlap(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+):
+    """Train/test contamination check: documents whose EXACT text also
+    appears under a different ``group_col`` value (e.g. a benchmark split
+    leaking into the training corpus) — the standard pre-training overlap
+    audit.
+
+    Physical plan: same 8-byte text-hash exchange as :func:`exact_dedup`
+    (the shuffle key is the hash, text rides once per doc), then one
+    vectorized per-partition group pass emitting members of groups spanning
+    ≥ 2 distinct sources.  Output: (doc_id, ``group_col``, n_sources:int64)
+    — one row per contaminated document.
+    """
+    ds = ds.select_columns([id_col, text_col, group_col]).map_batches(
+        _add_hash_part(text_col), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _overlap(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [(id_col, pa.int64()), (group_col, pa.string()), ("n_sources", pa.int64())]
+            ).empty_table()
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        out = (
+            df.with_columns(
+                pl.col(group_col).n_unique().over(text_col).cast(pl.Int64).alias("n_sources")
+            )
+            .filter(pl.col("n_sources") >= 2)
+            .select([id_col, group_col, "n_sources"])
+            .sort(id_col)
+        )
+        return out.to_arrow()
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(ds, ["part"], _NUM_PARTS, _overlap)
+
+
 def fuzzy_dedup_documents_lsh(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",

@@ -433,6 +433,65 @@ def tfidf_top_terms(
     )
 
 
+def filter_short_docs(
+    ds: "ray.data.Dataset",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    p: float = 0.5,
+):
+    """Relative-length quality filter: keep documents whose word count is at
+    least their group's ``p``-quantile (default: per-source median) — the
+    "drop the short tail per corpus shard" curation rule, with the cutoff
+    LEARNED from the data in the same job.
+
+    Composition pattern: the per-group quantile table (tiny — one row per
+    source, from :func:`source_length_quantiles`'s histogram exchange) is
+    computed first, put in the object store ONCE, and the filter pass is a
+    pure broadcast-lookup ``map_batches`` — no second shuffle.
+
+    Output: (doc_id, ``group_col``, n_words:int64) for kept documents.
+    """
+    q = source_length_quantiles(
+        ds, group_col=group_col, id_col=id_col, text_col=text_col, ps=(p,)
+    )
+    qt = pa.concat_tables([t for t in ray.get(q.to_arrow_refs()) if len(t)])
+    cutoff_col = qt.column_names[-1]
+    cut_ref = ray.put(dict(zip(qt[group_col].to_pylist(), qt[cutoff_col].to_pylist())))
+
+    def _filter(t: pa.Table) -> pa.Table:
+        cuts: dict = ray.get(cut_ref)
+        s = pl.from_arrow(t[text_col].combine_chunks())
+        n = (
+            s.str.strip_chars()
+            .str.replace_all(r"\s+", " ")
+            .str.split(" ")
+            .list.eval(pl.element().filter(pl.element() != ""))
+            .list.len()
+            .cast(pl.Int64)
+        )
+        df = pl.DataFrame(
+            {
+                id_col: pl.from_arrow(t[id_col].combine_chunks()),
+                group_col: pl.from_arrow(t[group_col].combine_chunks()),
+                "n_words": n,
+            }
+        )
+        cut_df = pl.DataFrame(
+            {group_col: list(cuts), "_cut": pl.Series(list(cuts.values()), dtype=pl.Int64)}
+        )
+        out = (
+            df.join(cut_df, on=group_col, how="left")
+            .filter(pl.col("n_words") >= pl.col("_cut"))
+            .select([id_col, group_col, "n_words"])
+        )
+        return out.to_arrow()
+
+    return ds.select_columns([id_col, group_col, text_col]).map_batches(
+        _filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def winnowing_fingerprints(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",

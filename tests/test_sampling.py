@@ -179,6 +179,55 @@ class TestSourceLengthQuantiles:
                 assert row[col] == want, (row["source"], col)
 
 
+class TestCrossSourceOverlap:
+    def test_flags_only_multisource_texts(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.docdedup import cross_source_overlap
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "text": ["leak", "leak", "leak", "clean", "clean", "solo"],
+                "source": ["train", "test", "val", "train", "train", "test"],
+            }
+        )
+        out = (
+            cross_source_overlap(ray.data.from_arrow(docs).repartition(3))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # "leak" spans 3 sources → rows 1,2,3; "clean" is twice in ONE
+        # source (not contamination); "solo" unique
+        assert out["doc_id"].tolist() == [1, 2, 3]
+        assert out["n_sources"].tolist() == [3, 3, 3]
+
+
+class TestFilterShortDocs:
+    def test_per_group_median_cutoff(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import filter_short_docs
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "source": ["a", "a", "a", "b", "b", "b"],
+                "text": ["w", "w w", "w w w", "x " * 10, "x " * 20, "x " * 30],
+            }
+        )
+        out = (
+            filter_short_docs(ray.data.from_arrow(docs).repartition(2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        # medians: a → 2 words, b → 20 words; keep n_words >= median
+        assert out["doc_id"].tolist() == [2, 3, 5, 6]
+        assert out["n_words"].tolist() == [2, 3, 20, 30]
+
+
 class TestVocabTopTokens:
     def test_counts_and_tiebreak(self, ray_session):
         import ray.data
