@@ -48,6 +48,49 @@ def _hash_split_sql() -> str:
     """
 
 
+def _redact_pii_sql() -> str:
+    from record_linkage_ldu_ray.pipelines.textstats import PII_EMAIL, PII_IP, PII_PHONE
+
+    return f"""
+        WITH t AS (
+          SELECT c_custkey,
+                 c_name || ' email user' || CAST(c_custkey AS VARCHAR)
+                        || '@example.com call +1 555 000 '
+                        || CAST(c_custkey AS VARCHAR)
+                        || ' ip 10.0.' || CAST(c_custkey % 256 AS VARCHAR)
+                        || '.1 done' AS text
+          FROM customer)
+        SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{PII_IP}', '<IP>', 'g'),
+                   '{PII_PHONE}', '<PHONE>', 'g') AS text_redacted,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PII_IP}')) AS BIGINT)
+                 AS n_ips,
+               CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+                 AS n_phones
+        FROM t
+    """
+
+
+def _stratified_sample_sql() -> str:
+    from record_linkage_ldu_ray.pipelines.sampling import _hex_threshold
+
+    branches = "\n".join(
+        f"              WHEN source = 'src{i}' THEN '{_hex_threshold((i % 4 + 1) / 4.0)}'"
+        for i in range(20)
+    )
+    return f"""
+        SELECT doc_id, source FROM documents
+        WHERE md5('sample-v1' || CAST(doc_id AS VARCHAR)) <
+            CASE
+{branches}
+              ELSE '{_hex_threshold(0.0)}' END
+    """
+
+
 def _hash_sample_sql() -> str:
     from record_linkage_ldu_ray.pipelines.sampling import _hex_threshold
 
@@ -230,6 +273,57 @@ def _q_filter_short_docs(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.textstats import filter_short_docs
 
     return filter_short_docs(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_redact_pii(sf_dir: str):
+    """PII scrub over contact strings synthesized deterministically from the
+    customer table (the test corpus itself contains no PII)."""
+    import polars as pl
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import redact_pii
+
+    def _contact(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        text = pl.format(
+            "{} email user{}@example.com call +1 555 000 {} ip 10.0.{}.1 done",
+            pl.col("c_name"),
+            pl.col("c_custkey"),
+            pl.col("c_custkey"),
+            pl.col("c_custkey") % 256,
+        )
+        return pl.DataFrame(
+            {"c_custkey": df["c_custkey"], "text": df.select(text).to_series()}
+        ).to_arrow()
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    ).map_batches(_contact, batch_format="pyarrow", zero_copy_batch=True)
+    return redact_pii(ds, id_col="c_custkey")
+
+
+def _q_stratified_hash_sample(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.sampling import stratified_hash_sample
+
+    fractions = {f"src{i}": (i % 4 + 1) / 4.0 for i in range(20)}
+    return stratified_hash_sample(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]),
+        fractions,
+    )
+
+
+def _q_pack_documents(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import pack_documents
+
+    return pack_documents(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), budget_words=256
+    )
 
 
 def _q_hash_split(sf_dir: str):
@@ -664,6 +758,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_length_quantiles": _q_source_length_quantiles,
         "cross_source_overlap": _q_cross_source_overlap,
         "filter_short_docs": _q_filter_short_docs,
+        "redact_pii": _q_redact_pii,
+        "stratified_hash_sample": _q_stratified_hash_sample,
+        "pack_documents": _q_pack_documents,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "content_fingerprints": _q_content_fingerprints,
@@ -919,6 +1016,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, quantile_disc(n, 0.5) AS p50 FROM w GROUP BY source)
             SELECT w.doc_id, w.source, w.n AS n_words
             FROM w JOIN q USING (source) WHERE w.n >= q.p50
+        """,
+        "redact_pii": _redact_pii_sql(),
+        "stratified_hash_sample": _stratified_sample_sql(),
+        "pack_documents": f"""
+            WITH w AS (
+              SELECT doc_id, source, CAST(len({_WS_WORDS}) AS BIGINT) AS n
+              FROM documents),
+            c AS (
+              SELECT doc_id, source, n,
+                     sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+              FROM w)
+            SELECT doc_id, source, n AS n_words,
+                   CAST((cum - n) // 256 AS BIGINT) AS bin_id
+            FROM c
         """,
         "vocab_top_tokens": f"""
             WITH w AS (

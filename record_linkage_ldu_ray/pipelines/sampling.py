@@ -25,8 +25,15 @@ import ray.data
 
 def _hex_threshold(fraction: float) -> str:
     """32-hex-digit threshold t such that P(md5_hex < t) == fraction (up to
-    1/2**128): the hex expansion of ``fraction`` scaled to 16**32."""
-    return format(int(round(fraction * (1 << 128))), "032x")
+    1/2**128): the hex expansion of ``fraction`` scaled to 16**32.
+    fraction ≥ 1 returns a sentinel above every hex digest ('g' > 'f');
+    fraction ≤ 0 returns the all-zero string (below every digest)."""
+    v = int(round(fraction * (1 << 128)))
+    if v >= (1 << 128):
+        return "g" * 32
+    if v <= 0:
+        return "0" * 32
+    return format(v, "032x")
 
 
 def _md5_hex(ids: pa.Array, salt: str) -> np.ndarray:
@@ -67,6 +74,41 @@ def hash_split(
     return ds.select_columns([id_col]).map_batches(
         _assign, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def stratified_hash_sample(
+    ds: "ray.data.Dataset",
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+    default: float = 0.0,
+    cols: list[str] | None = None,
+):
+    """Per-group deterministic Bernoulli sample — the corpus-mixing /
+    up-down-weighting step of a training-data pipeline: each group keeps
+    its own fraction (groups absent from ``fractions`` keep ``default``).
+    Same MD5-interval membership as :func:`hash_sample` (stable, nested
+    across fractions), still a pure ``map_batches`` filter with no shuffle:
+    the per-group threshold lookup is a tiny vectorized searchsorted.
+    """
+    thr_map = {g: _hex_threshold(f) for g, f in fractions.items()}
+    keys = np.array(sorted(thr_map), dtype=object)
+    vals = np.array([thr_map[g] for g in keys], dtype=object)
+    dflt = _hex_threshold(default)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        keep_cols = cols if cols is not None else t.column_names
+        hexes = _md5_hex(t[id_col].combine_chunks(), salt)
+        groups = np.asarray(t[group_col].to_pylist(), dtype=object)
+        idx = np.searchsorted(keys, groups)
+        idx_c = np.clip(idx, 0, max(len(keys) - 1, 0))
+        known = (idx < len(keys)) & (keys[idx_c] == groups) if len(keys) else np.zeros(len(groups), bool)
+        thresholds = np.where(known, vals[idx_c] if len(keys) else dflt, dflt)
+        mask = pa.array(hexes < thresholds)
+        return t.select(keep_cols).filter(mask)
+
+    return ds.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def hash_sample(

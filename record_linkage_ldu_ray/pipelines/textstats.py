@@ -492,6 +492,118 @@ def filter_short_docs(
     )
 
 
+# PII patterns (public, simple shapes chosen to behave identically under
+# rust-regex (polars) and RE2 (DuckDB): no backrefs, no lookaround)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+def redact_pii(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """PII scrub: replace emails → ``<EMAIL>``, IPv4 addresses → ``<IP>``,
+    phone-like digit runs → ``<PHONE>`` (applied in that order so an
+    email's digits are never phone-matched), and count each on the ORIGINAL
+    text.  One vectorized ``map_batches`` — compiled-regex kernels, no
+    shuffle, no Python row loop; the standard pre-training scrub pass.
+
+    Output: (id_col, text_redacted:string, n_emails/n_ips/n_phones:int64).
+    """
+
+    def _scrub(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t[text_col].combine_chunks())
+        red = (
+            s.str.replace_all(PII_EMAIL, "<EMAIL>")
+            .str.replace_all(PII_IP, "<IP>")
+            .str.replace_all(PII_PHONE, "<PHONE>")
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "text_redacted": red.to_arrow(),
+                "n_emails": s.str.count_matches(PII_EMAIL).cast(pl.Int64).to_arrow(),
+                "n_ips": s.str.count_matches(PII_IP).cast(pl.Int64).to_arrow(),
+                "n_phones": s.str.count_matches(PII_PHONE).cast(pl.Int64).to_arrow(),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _scrub, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pack_documents(
+    ds: "ray.data.Dataset",
+    budget_words: int = 256,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = 16,
+):
+    """Deterministic shard packing: within each group, documents in id
+    order are assigned to consecutive bins of ~``budget_words`` words —
+    ``bin_id = (running_sum_before_doc) // budget`` — the "pack the corpus
+    into fixed-budget training shards" step, reproducible across runs and
+    cluster sizes because the scan order is the key order, not arrival
+    order.
+
+    One hash exchange keyed by group, one vectorized per-partition
+    sort + windowed cumulative sum.  Output: (doc_id, group_col,
+    n_words:int64, bin_id:int64).
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t[text_col].combine_chunks())
+        n = (
+            s.str.strip_chars()
+            .str.replace_all(r"\s+", " ")
+            .str.split(" ")
+            .list.eval(pl.element().filter(pl.element() != ""))
+            .list.len()
+            .cast(pl.Int64)
+        )
+        out = pa.table(
+            {
+                id_col: t[id_col],
+                group_col: t[group_col],
+                "n_words": n.to_arrow(),
+            }
+        )
+        h = fnv1a_hash_strings(out[group_col].combine_chunks().cast(pa.string()))
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    partials = ds.select_columns([id_col, group_col, text_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _pack(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [
+                    (id_col, pa.int64()),
+                    (group_col, pa.string()),
+                    ("n_words", pa.int64()),
+                    ("bin_id", pa.int64()),
+                ]
+            ).empty_table()
+        df = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .sort([group_col, id_col])
+            .with_columns(
+                bin_id=(
+                    (pl.col("n_words").cum_sum().over(group_col) - pl.col("n_words"))
+                    // budget_words
+                ).cast(pl.Int64)
+            )
+        )
+        return df.to_arrow()
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(partials, ["part"], num_parts, _pack)
+
+
 def winnowing_fingerprints(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",

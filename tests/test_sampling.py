@@ -179,6 +179,119 @@ class TestSourceLengthQuantiles:
                 assert row[col] == want, (row["source"], col)
 
 
+class TestRedactPii:
+    def test_redactions_and_counts(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import redact_pii
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "mail a.b+c@x-y.org and d@e.io now",
+                    "server 192.168.0.1 called +44 20 7946 0958 twice",
+                    "clean text only",
+                ],
+            }
+        )
+        out = redact_pii(ray.data.from_arrow(docs)).to_pandas().sort_values("doc_id")
+        assert out["text_redacted"].tolist() == [
+            "mail <EMAIL> and <EMAIL> now",
+            "server <IP> called <PHONE> twice",
+            "clean text only",
+        ]
+        assert out["n_emails"].tolist() == [2, 0, 0]
+        assert out["n_ips"].tolist() == [0, 1, 0]
+        assert out["n_phones"].tolist() == [0, 1, 0]
+
+
+class TestStratifiedHashSample:
+    def test_per_group_fractions(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.sampling import stratified_hash_sample
+
+        n = 3000
+        t = pa.table(
+            {
+                "doc_id": list(range(n)),
+                "source": [f"g{i % 3}" for i in range(n)],
+            }
+        )
+        out = stratified_hash_sample(
+            ray.data.from_arrow(t), {"g0": 1.0, "g1": 0.5}, default=0.0
+        ).to_pandas()
+        counts = out["source"].value_counts()
+        assert counts["g0"] == 1000          # fraction 1.0 keeps every row
+        assert abs(counts.get("g1", 0) / 1000 - 0.5) < 0.06
+        assert "g2" not in counts.index      # unknown group → default 0.0
+
+    def test_nested_with_global_sample(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.sampling import (
+            hash_sample,
+            stratified_hash_sample,
+        )
+
+        t = pa.table({"doc_id": list(range(1000)), "source": ["s"] * 1000})
+        a = stratified_hash_sample(ray.data.from_arrow(t), {"s": 0.2}).to_pandas()
+        b = hash_sample(ray.data.from_arrow(t), 0.2).to_pandas()
+        assert set(a["doc_id"]) == set(b["doc_id"])
+
+
+class TestPackDocuments:
+    def test_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import pack_documents
+
+        rng = np.random.default_rng(23)
+        n = 200
+        srcs = [f"s{int(i)}" for i in rng.integers(0, 3, n)]
+        lens = rng.integers(1, 40, n)
+        docs = pa.table(
+            {
+                "doc_id": list(range(n)),
+                "source": srcs,
+                "text": [" ".join(["w"] * int(k)) for k in lens],
+            }
+        )
+        out = (
+            pack_documents(ray.data.from_arrow(docs).repartition(5), budget_words=50)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        cum: dict[str, int] = {}
+        for i in range(n):
+            s = srcs[i]
+            before = cum.get(s, 0)
+            assert out.loc[i, "bin_id"] == before // 50, i
+            assert out.loc[i, "n_words"] == lens[i]
+            cum[s] = before + int(lens[i])
+
+    def test_bins_monotone_within_group(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import pack_documents
+
+        docs = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "source": ["a"] * 4,
+                "text": ["w " * 30, "w " * 30, "w " * 30, "w"],
+            }
+        )
+        out = (
+            pack_documents(ray.data.from_arrow(docs), budget_words=50)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["bin_id"].tolist() == [0, 0, 1, 1]
+
+
 class TestCrossSourceOverlap:
     def test_flags_only_multisource_texts(self, ray_session):
         import ray.data
