@@ -275,6 +275,22 @@ def _q_filter_short_docs(sf_dir: str):
     return filter_short_docs(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_distinct_tokens_exact(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import distinct_tokens_exact
+
+    return distinct_tokens_exact(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_distinct_tokens_hll(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import distinct_tokens_hll
+
+    return distinct_tokens_hll(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_redact_pii(sf_dir: str):
     """PII scrub over contact strings synthesized deterministically from the
     customer table (the test corpus itself contains no PII)."""
@@ -761,6 +777,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "stratified_hash_sample": _q_stratified_hash_sample,
         "pack_documents": _q_pack_documents,
+        "distinct_tokens_exact": _q_distinct_tokens_exact,
+        "distinct_tokens_hll": _q_distinct_tokens_hll,
         "quality_scores": _q_quality_scores,
         "lang_id": _q_lang_id,
         "content_fingerprints": _q_content_fingerprints,
@@ -1016,6 +1034,12 @@ def oracle_sql() -> dict[str, str]:
               SELECT source, quantile_disc(n, 0.5) AS p50 FROM w GROUP BY source)
             SELECT w.doc_id, w.source, w.n AS n_words
             FROM w JOIN q USING (source) WHERE w.n >= q.p50
+        """,
+        "distinct_tokens_exact": f"""
+            WITH w AS (
+              SELECT source, unnest({_WS_WORDS}) AS token FROM documents)
+            SELECT source, CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
+            FROM w GROUP BY source
         """,
         "redact_pii": _redact_pii_sql(),
         "stratified_hash_sample": _stratified_sample_sql(),

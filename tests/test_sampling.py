@@ -179,6 +179,53 @@ class TestSourceLengthQuantiles:
                 assert row[col] == want, (row["source"], col)
 
 
+class TestDistinctTokens:
+    def _corpus(self, n_docs: int, vocab: int, seed: int = 31):
+        rng = np.random.default_rng(seed)
+        texts = [
+            " ".join(f"tok{v}" for v in rng.integers(0, vocab, 40))
+            for _ in range(n_docs)
+        ]
+        return pa.table(
+            {
+                "doc_id": list(range(n_docs)),
+                "source": [f"s{i % 2}" for i in range(n_docs)],
+                "text": texts,
+            }
+        )
+
+    def test_exact_matches_bruteforce(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import distinct_tokens_exact
+
+        docs = self._corpus(200, 500)
+        out = distinct_tokens_exact(ray.data.from_arrow(docs).repartition(5))
+        got = dict(zip(out["source"].to_pylist(), out["n_distinct"].to_pylist()))
+        truth: dict[str, set] = {}
+        for s, t in zip(docs["source"].to_pylist(), docs["text"].to_pylist()):
+            truth.setdefault(s, set()).update(t.split())
+        assert got == {s: len(v) for s, v in truth.items()}
+
+    def test_hll_within_5pct_and_partition_invariant(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import distinct_tokens_hll
+
+        docs = self._corpus(1500, 60_000, seed=7)
+        truth: dict[str, set] = {}
+        for s, t in zip(docs["source"].to_pylist(), docs["text"].to_pylist()):
+            truth.setdefault(s, set()).update(t.split())
+
+        a = distinct_tokens_hll(ray.data.from_arrow(docs).repartition(3)).to_pandas()
+        b = distinct_tokens_hll(ray.data.from_arrow(docs).repartition(11)).to_pandas()
+        ga = dict(zip(a["source"], a["n_distinct_est"]))
+        gb = dict(zip(b["source"], b["n_distinct_est"]))
+        assert ga == gb  # register max-merge is associative → batching-invariant
+        for s, v in truth.items():
+            assert abs(ga[s] - len(v)) / len(v) < 0.05, (s, ga[s], len(v))
+
+
 class TestRedactPii:
     def test_redactions_and_counts(self, ray_session):
         import ray.data
