@@ -742,6 +742,41 @@ def _q_bipartite_linkage(sf_dir: str):
     )
 
 
+def _q_link_increment(sf_dir: str):
+    """Incremental linkage: the even-parity half of the corpus is the
+    already-clustered index (each conv its own cluster — exact_dedup keeps
+    them distinct), the odd half is the new delivery; every delta conv is
+    assigned to an inherited or fresh cluster."""
+    import pyarrow as pa
+
+    from record_linkage_ldu_ray.pipelines.linkage import link_increment
+    from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
+
+    def _half(parity: int):
+        def _f(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            doc = pc.cast(
+                pc.utf8_slice_codeunits(t["conv_id"], 4, 32), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((doc // 20) % 2 == parity))
+
+        return _f
+
+    ts = transcripts_from_documents(sf_dir)
+    a = ts.map_batches(_half(0), batch_format="pyarrow", zero_copy_batch=True)
+    b = ts.map_batches(_half(1), batch_format="pyarrow", zero_copy_batch=True)
+
+    def _self_clusters(t: pa.Table) -> pa.Table:
+        ids = (
+            pa.table({"conv_id": t["conv_id"]}).group_by("conv_id").aggregate([])
+        )
+        return ids.append_column("cluster_id", ids["conv_id"])
+
+    existing = a.map_batches(_self_clusters, batch_format="pyarrow", zero_copy_batch=True)
+    return link_increment(a, existing, b).sort("conv_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # linkage-engine kernels / relational primitives
@@ -802,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_dedup": _q_transcript_dedup,
         "bipartite_jaccard_links": _q_bipartite_jaccard_links,
         "bipartite_linkage": _q_bipartite_linkage,
+        "link_increment": _q_link_increment,
     }
 
 

@@ -210,6 +210,153 @@ def link_datasets(
     return LinkResult(matches=matches, groups=groups, scores=scores, metrics=metrics)
 
 
+def link_increment(
+    existing_ts,
+    existing_clusters,
+    delta_ts,
+    cfg: PipelineConfig | None = None,
+    cross_rules: CrossRuleConfig | None = None,
+):
+    """Incremental linkage — the production "append a new batch to an
+    already-clustered corpus" shape (the reference re-runs the full LDU↔HW
+    cross compare per delivery; this is its streaming replacement).
+
+    Every NEW (delta) conversation is scored against the EXISTING corpus
+    with the full bipartite machinery (:func:`link_datasets`: shared
+    blocking, cross-only enumeration, cross 4-mask rule); a delta record
+    that matches ≥1 existing record inherits the MINIMUM matched existing
+    cluster id (deterministic), otherwise it opens a fresh singleton
+    cluster named by its own conv_id.
+
+    Policy note (documented, matches the append-only index semantics):
+    delta↔delta pairs are NOT scored — two new records that both match the
+    same existing cluster still co-assign, but a brand-new duplicate family
+    arriving entirely inside one delta lands as separate singletons; run
+    the self-dedup flagship over the delta first when that matters.
+
+    ``existing_clusters``: Dataset (conv_id, cluster_id) — the output of a
+    previous ``dedup_transcripts`` / ``link_increment`` run.
+
+    Returns Dataset (conv_id, cluster_id, is_new_cluster:bool) — one row
+    per DELTA conversation.  Two narrow hash exchanges beyond the linkage
+    itself (matches ⨝ cluster map on the existing key; min-per-delta +
+    universe fallback on the delta key).
+    """
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    cfg = cfg or PipelineConfig()
+    res = link_datasets(existing_ts, delta_ts, cfg, cross_rules)
+    num_parts = cfg.feature_partitions
+
+    from record_linkage_ldu_ray.functions.hashing import fnv1a_hash_strings
+
+    def _with_part(col: str):
+        def _f(t: pa.Table) -> pa.Table:
+            h = fnv1a_hash_strings(t[col].cast(pa.string()))
+            return t.append_column(
+                "part",
+                pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32()),
+            )
+
+        return _f
+
+    # exchange 1: resolve matched existing conv → its cluster id
+    cmap = existing_clusters.select_columns(["conv_id", "cluster_id"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["conv_id"].cast(pa.string()),
+                "cluster_id": t["cluster_id"].cast(pa.string()),
+                "delta_id": pa.nulls(len(t), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    medges = res.matches.select_columns(["conv_id_a", "conv_id_b"]).map_batches(
+        lambda t: pa.table(
+            {
+                "key": t["conv_id_a"].cast(pa.string()),
+                "cluster_id": pa.nulls(len(t), pa.string()),
+                "delta_id": t["conv_id_b"].cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    both = cmap.union(medges).map_batches(
+        _with_part("key"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _resolve(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out_schema = pa.schema([("delta_id", pa.string()), ("cluster_id", pa.string())])
+        if len(t) == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        cm = df.filter(pl.col("cluster_id").is_not_null()).select(["key", "cluster_id"])
+        me = df.filter(pl.col("delta_id").is_not_null()).select(["key", "delta_id"])
+        j = me.join(cm, on="key", how="inner").select(["delta_id", "cluster_id"])
+        return j.to_arrow().cast(out_schema)
+
+    resolved = partitioned_map(both, ["part"], num_parts, _resolve)
+
+    # exchange 2: min cluster per delta; unmatched deltas open singletons
+    delta_ids = (
+        delta_ts
+        if hasattr(delta_ts, "map_batches")
+        else ray.data.read_parquet(delta_ts, columns=["conv_id"])
+    ).select_columns(["conv_id"])
+    def _distinct_ids(t: pa.Table) -> pa.Table:
+        # transcripts carry one row per TURN — reduce to distinct conv ids
+        # locally; cross-batch repeats collapse in _assign's group_by
+        ids = (
+            pa.table({"delta_id": t["conv_id"].cast(pa.string())})
+            .group_by("delta_id")
+            .aggregate([])
+        )
+        return ids.append_column("cluster_id", pa.nulls(len(ids), pa.string()))
+
+    universe = delta_ids.map_batches(
+        _distinct_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
+    allrows = universe.union(resolved).map_batches(
+        _with_part("delta_id"), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _assign(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out_schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("cluster_id", pa.string()),
+                ("is_new_cluster", pa.bool_()),
+            ]
+        )
+        if len(t) == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        # universe rows are distinct by construction; matched rows add
+        # candidate clusters — min per delta, null (no match) sorts last
+        agg = (
+            df.group_by("delta_id")
+            .agg(cluster_id=pl.col("cluster_id").drop_nulls().min())
+            .with_columns(
+                is_new_cluster=pl.col("cluster_id").is_null(),
+            )
+        )
+        agg = agg.with_columns(
+            cluster_id=pl.coalesce(pl.col("cluster_id"), pl.col("delta_id")),
+            conv_id=pl.col("delta_id"),
+        )
+        return agg.select(["conv_id", "cluster_id", "is_new_cluster"]).to_arrow().cast(
+            out_schema
+        )
+
+    return partitioned_map(allrows, ["part"], num_parts, _assign)
+
+
 def cross_mask_counters(matches_ds) -> dict:
     """Per-mask match cardinalities (main_ldu_hw.py:422-429 analog)."""
     import pyarrow.compute as pc

@@ -109,3 +109,57 @@ class TestBipartiteLinkage:
         assert counters["matches"] == res.matches.count()
         assert counters["matches"] > 0
         assert sum(counters[k] for k in ("x1", "x2", "x3", "x4")) >= counters["matches"]
+
+
+class TestLinkIncrement:
+    def test_delta_assignment(self, ray_session, tmp_path):
+        """Incremental linkage: existing corpus = side A with its expected
+        cluster labels; delta = side B.  Every B duplicate whose expected
+        cluster contains an A record must inherit that cluster's label;
+        B records in A-free clusters open fresh singletons."""
+        import pandas as pd
+
+        from record_linkage_ldu_ray.pipelines.linkage import link_increment
+
+        d = cached_fixture(FixtureSpec(n_families=120))
+        transcripts = pq.read_table(os.path.join(d, "transcripts.parquet"))
+        sides = [_side_of(c) for c in transcripts["conv_id"].to_pylist()]
+        mask_a = pa.array([s == "a" for s in sides])
+        ds_a = ray.data.from_arrow(transcripts.filter(mask_a))
+        ds_b = ray.data.from_arrow(transcripts.filter(pa.compute.invert(mask_a)))
+
+        exp = pq.read_table(os.path.join(d, "expected_clusters.parquet")).to_pandas()
+        exp_map = dict(zip(exp["conv_id"], exp["cluster_id"]))
+        a_convs = {c for c in exp_map if _side_of(c) == "a"}
+        a_clusters = {exp_map[c] for c in a_convs}
+
+        existing = ray.data.from_arrow(
+            pa.table(
+                {
+                    "conv_id": sorted(a_convs),
+                    "cluster_id": [exp_map[c] for c in sorted(a_convs)],
+                }
+            )
+        )
+        out = (
+            link_increment(ds_a, existing, ds_b)
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        b_convs = sorted({c for c in exp_map if _side_of(c) == "b"})
+        assert out["conv_id"].tolist() == b_convs  # one row per delta conv
+        got = dict(zip(out["conv_id"], out["cluster_id"]))
+        new = dict(zip(out["conv_id"], out["is_new_cluster"]))
+        n_ok = 0
+        for b in b_convs:
+            want_cluster = exp_map[b]
+            if want_cluster in a_clusters:  # family anchored in the corpus
+                ok = got[b] == want_cluster and not new[b]
+            else:  # delta-only record → fresh singleton
+                ok = got[b] == b and new[b]
+            n_ok += ok
+        assert n_ok / len(b_convs) >= 0.99, (n_ok, len(b_convs))
+        # invariants: new-cluster flag consistent with label provenance
+        for b in b_convs:
+            assert new[b] == (got[b] == b and got[b] not in a_clusters)
