@@ -608,6 +608,18 @@ def _q_user_event_features(sf_dir: str):
     return user_event_features(sf_dir)
 
 
+def _q_global_rank(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import global_rank
+
+    return global_rank(sf_dir)
+
+
+def _q_top_events_per_user(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import top_events_per_user
+
+    return top_events_per_user(sf_dir)
+
+
 def _q_sessionize_events(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import sessionize_events
 
@@ -785,6 +797,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
         "top_orders": _q_top_orders,
+        "global_rank": _q_global_rank,
+        "top_events_per_user": _q_top_events_per_user,
         "user_event_features": _q_user_event_features,
         "sessionize_events": _q_sessionize_events,
         "tumbling_window_stats": _q_tumbling_window_stats,
@@ -874,6 +888,22 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
             FROM orders ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100
+        """,
+        "global_rank": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+                   ROW_NUMBER() OVER w AS rnk,
+                   CAST(NTILE(10) OVER w AS INTEGER) AS decile
+            FROM orders
+            WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "top_events_per_user": """
+            SELECT user_id, event_id, value, rn FROM (
+                SELECT user_id, event_id, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY value DESC, event_id) AS rn
+                FROM events)
+            WHERE rn <= 3
         """,
         "user_event_features": """
             SELECT user_id,

@@ -690,3 +690,156 @@ def transcripts_from_documents(sf_dir: str):
         )
 
     return ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# global window functions: ROW_NUMBER / NTILE over a full sort
+
+
+def global_rank(sf_dir: str, num_buckets: int = 10):
+    """Exact global ``ROW_NUMBER()`` + ``NTILE(num_buckets)`` over the
+    orders table ordered by (totalprice DESC, orderkey ASC).
+
+    The distributed-rank pattern: range-exchange sort → materialize the
+    sorted run (fixing block boundaries) → pass 1 emits ONE tiny summary
+    row per block (first key, row count) → the driver prefix-sums block
+    offsets (driver state is O(#blocks), never O(rows)) → offsets
+    broadcast once via ``ray.put`` → pass 2 adds ``offset + arange`` per
+    block.  The composite sort key is unique (orderkey is a key), so block
+    key ranges are disjoint and the rank is exact at any parallelism.  The
+    materialized sorted run is the cost any engine pays for a global
+    window; Ray spills it to the object store rather than pinning it on
+    one node.
+
+    Reference parity: the LDU scripts globally sort result frames before
+    review (score-sorted sheets, ``main_ldu_hw.py:97-146``); this is that
+    step as a scale-correct distributed operator.
+    """
+    from record_linkage_ldu_ray.runtime import configure_exchange
+
+    configure_exchange()
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    sorted_ds = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+    sorted_ds = sorted_ds.materialize()
+
+    def _summary(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "first_cents": pa.array([], pa.int64()),
+                    "first_key": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "first_cents": pa.array([_cents(t["o_totalprice"])[0].as_py()], pa.int64()),
+                "first_key": pa.array([t["o_orderkey"][0].as_py()], pa.int64()),
+                "n": pa.array([len(t)], pa.int64()),
+            }
+        )
+
+    summ = pa.concat_tables(
+        ray.get(
+            sorted_ds.map_batches(
+                _summary, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+    )
+    first_cents = summ["first_cents"].to_numpy()
+    first_key = summ["first_key"].to_numpy()
+    ns = summ["n"].to_numpy()
+    # blocks are disjoint sorted runs → ordering by each block's FIRST row
+    # under the sort order (cents DESC, key ASC) orders the blocks
+    order = np.lexsort((first_key, -first_cents))
+    offs = np.zeros(len(ns) + 1, np.int64)
+    np.cumsum(ns[order], out=offs[1:])
+    total = int(offs[-1])
+    offset_by_block = {
+        (int(first_cents[b]), int(first_key[b])): int(offs[i])
+        for i, b in enumerate(order)
+    }
+    bcast = ray.put((offset_by_block, total, int(num_buckets)))
+
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "totalprice_cents": pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64()),
+            "decile": pa.array([], pa.int32()),
+        }
+    )
+
+    def _rank(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        offsets, n_total, nb = ray.get(bcast)
+        cents = _cents(t["o_totalprice"]).to_numpy()
+        keys = t["o_orderkey"].to_numpy()
+        rn0 = offsets[(int(cents[0]), int(keys[0]))] + np.arange(len(t), dtype=np.int64)
+        # NTILE semantics: first (N % nb) buckets hold ceil(N/nb) rows
+        q, r = divmod(n_total, nb)
+        boundary = r * (q + 1)
+        if q == 0:
+            bucket = rn0  # N < nb: one row per bucket
+        else:
+            bucket = np.where(rn0 < boundary, rn0 // (q + 1), r + (rn0 - boundary) // q)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(keys, pa.int64()),
+                "totalprice_cents": pa.array(cents, pa.int64()),
+                "rnk": pa.array(rn0 + 1, pa.int64()),
+                "decile": pa.array((bucket + 1).astype(np.int32), pa.int32()),
+            }
+        )
+
+    return sorted_ds.map_batches(_rank, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_events_per_user(sf_dir: str, k: int = 3, num_parts: int = 32):
+    """Grouped top-k: each user's ``k`` highest-value events
+    (value DESC, ties by event_id ASC), with the per-group row number.
+
+    Scale pattern: a per-block COMBINER first shrinks every block to at
+    most ``k`` rows per user it contains (vectorized polars group-head),
+    so the hash exchange moves ≤ k rows per (user, block) instead of the
+    full event stream; the per-partition finalizer re-sorts and takes the
+    true top-k per user.  Same partial→merge shape as the reference's
+    grouped aggregations (``main_ldu_hw.py`` group stats), expressed as
+    the engine's hash-partitioned primitive.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"]
+    )
+
+    def _topk_frame(df: pl.DataFrame) -> pl.DataFrame:
+        return (
+            df.sort(["user_id", "value", "event_id"], descending=[False, True, False])
+            .group_by("user_id", maintain_order=True)
+            .head(k)
+        )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        out = _topk_frame(pl.from_arrow(t)).to_arrow()
+        h = fnv1a_hash_strings(out["user_id"].cast(pa.string()))
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _final(t: pa.Table) -> pa.Table:
+        df = _topk_frame(pl.from_arrow(t.drop_columns(["part"])))
+        df = df.with_columns(
+            (pl.col("value").cum_count().over("user_id")).cast(pl.Int64).alias("rn")
+        )
+        return df.to_arrow()
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["part"],
+        num_parts,
+        _final,
+    )

@@ -351,3 +351,105 @@ class TestRangeJoin:
             .sort_values("rid_r")
         )
         assert got["rid_r"].tolist() == [1, 2]  # 90 and 110 inclusive; 89/111 out
+
+
+class TestGlobalRank:
+    def test_row_number_and_ntile_exact(self, ray_session, tmp_path):
+        """Distributed rank (sort → block-offset prefix sum → per-block
+        arange) must equal a single-node window function, including ties
+        in the price broken by orderkey and NTILE remainder buckets."""
+        import duckdb
+
+        from record_linkage_ldu_ray.pipelines.relational import global_rank
+
+        rng = np.random.default_rng(11)
+        n = 777  # not divisible by 10 → NTILE remainder buckets exercised
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "o_custkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "o_orderstatus": pa.array(["O"] * n),
+                # few distinct prices → heavy ties, tie-break by orderkey
+                "o_totalprice": pa.array(
+                    np.round(rng.choice([10.0, 20.5, 33.25], n), 2)
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, f"{d}/orders.parquet")
+
+        got = (
+            global_rank(str(d))
+            .to_pandas()
+            .sort_values("rnk")
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(
+                f"""
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents,
+                   ROW_NUMBER() OVER w AS rnk,
+                   CAST(NTILE(10) OVER w AS INTEGER) AS decile
+            FROM '{d}/orders.parquet'
+            WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+            ORDER BY rnk"""
+            )
+            .df()
+        )
+        assert (got["rnk"].to_numpy() == np.arange(1, n + 1)).all()
+        for c in ("o_orderkey", "totalprice_cents", "rnk", "decile"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+class TestGroupedTopK:
+    def test_matches_partitioned_row_number(self, ray_session, tmp_path):
+        """Combiner (per-block group-head) + per-partition finalizer must
+        equal the single-node PARTITION BY window, including value ties."""
+        import duckdb
+
+        from record_linkage_ldu_ray.pipelines.relational import top_events_per_user
+
+        rng = np.random.default_rng(13)
+        n = 4000
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(
+                    np.array("2024-01-01", "datetime64[us]")
+                    + rng.integers(0, 10**6, n).astype("timedelta64[us]")
+                ),
+                "user_id": pa.array(rng.integers(0, 60, n).astype(np.int64)),
+                "event_type": pa.array(["view"] * n),
+                # coarse values → frequent ties broken by event_id
+                "value": pa.array(np.round(rng.uniform(0, 5, n), 0)),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, f"{d}/events.parquet")
+
+        got = (
+            top_events_per_user(str(d), k=3)
+            .to_pandas()
+            .sort_values(["user_id", "rn"])
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(
+                f"""
+            SELECT user_id, event_id, value, rn FROM (
+              SELECT user_id, event_id, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY value DESC, event_id) AS rn
+              FROM '{d}/events.parquet')
+            WHERE rn <= 3 ORDER BY user_id, rn"""
+            )
+            .df()
+        )
+        assert len(got) == len(want)
+        for c in ("user_id", "event_id", "value", "rn"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
