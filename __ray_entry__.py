@@ -250,6 +250,12 @@ def _q_source_length_quantiles(sf_dir: str):
     return source_length_quantiles(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_decontaminate_ngrams(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.docdedup import decontaminate_ngrams
+
+    return decontaminate_ngrams(sf_dir)
+
+
 def _q_cross_source_overlap(sf_dir: str):
     # the synthetic documents table has globally unique texts, so the
     # overlap audit runs on the part table (same operator, generic columns):
@@ -822,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "source_length_quantiles": _q_source_length_quantiles,
         "cross_source_overlap": _q_cross_source_overlap,
+        "decontaminate_ngrams": _q_decontaminate_ngrams,
         "filter_short_docs": _q_filter_short_docs,
         "redact_pii": _q_redact_pii,
         "stratified_hash_sample": _q_stratified_hash_sample,
@@ -1084,6 +1091,26 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(n, 0.9) AS p90_words,
                    quantile_disc(n, 0.99) AS p99_words
             FROM w GROUP BY source
+        """,
+        "decontaminate_ngrams": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+              FROM documents),
+            grams AS (
+              SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+              FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM toks)),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0),
+            hits AS (
+              SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+              FROM (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 25 <> 0) t
+              JOIN bench b ON t.g = b.g
+              GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(h.n_hits, 0) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         "cross_source_overlap": """
             WITH g AS (

@@ -885,3 +885,83 @@ def fuzzy_dedup_documents_lsh(
     """
     pairs = minhash_lsh_dup_pairs(ds, tau=tau)
     return dedup_by_pairs(ds, pairs, id_col=id_col)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: flag corpus docs sharing an n-gram with a
+# held-out benchmark/eval set
+
+
+def decontaminate_ngrams(sf_dir: str, n: int = 8, bench_mod: int = 25):
+    """Per corpus doc: how many of its distinct word ``n``-grams appear in
+    the benchmark set (docs with ``doc_id % bench_mod == 0`` stand in for
+    an eval suite), plus a ``contaminated`` flag.
+
+    The scale shape of training-data decontamination: the benchmark side
+    is SMALL (eval suites are MBs even when the corpus is 100 TB), so its
+    distinct n-gram hashes are collected once (per-batch unique → driver
+    union) and broadcast via ``ray.put``; the corpus then streams through
+    one ``map_batches`` doing a vectorized ``searchsorted`` membership
+    probe per batch — no shuffle at all.  N-gram hashing is the same
+    rolling-combine kernel as ``minhash_lsh_dup_pairs``
+    (``_shingle_hashes``), so Ray-side hash membership equals SQL string
+    membership up to 64-bit collisions (~1e-9 at any realistic eval size).
+
+    Output: (doc_id, n_hits:int64, contaminated:bool) for every non-bench
+    doc — docs shorter than ``n`` tokens have no n-grams and 0 hits.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    mod = np.int64(bench_mod)
+
+    def _bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sub = t.filter(pa.array(ids % mod == 0))
+        if len(sub) == 0:
+            return pa.table({"g": pa.array([], pa.uint64())})
+        flat, _ = _shingle_hashes(sub["text"], n)
+        return pa.table({"g": pa.array(np.unique(flat), pa.uint64())})
+
+    parts = ray.get(
+        ds.map_batches(_bench_grams, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    bench = np.unique(np.concatenate([p["g"].to_numpy() for p in parts if len(p)]))
+    bench_ref = ray.put(bench)
+
+    def _probe(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sub = t.filter(pa.array(ids % mod != 0))
+        ids = sub["doc_id"].to_numpy()
+        if len(sub) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_hits": pa.array([], pa.int64()),
+                    "contaminated": pa.array([], pa.bool_()),
+                }
+            )
+        bg = ray.get(bench_ref)
+        flat, offs = _shingle_hashes(sub["text"], n)  # sorted-unique per doc
+        if len(bg) and len(flat):
+            pos = np.searchsorted(bg, flat)
+            pos[pos == len(bg)] = 0
+            hit = bg[pos] == flat
+        else:
+            hit = np.zeros(len(flat), bool)
+        # per-doc segment sums via cumsum — branch-free and exact even for
+        # empty segments (docs with < n tokens)
+        counts = np.zeros(len(sub), np.int64)
+        if len(flat):
+            cs = np.concatenate(([0], np.cumsum(hit, dtype=np.int64)))
+            counts = cs[offs[1:]] - cs[offs[:-1]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_hits": pa.array(counts, pa.int64()),
+                "contaminated": pa.array(counts > 0, pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(_probe, batch_format="pyarrow", zero_copy_batch=True)

@@ -432,3 +432,54 @@ class TestVocabTopTokens:
         want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         assert list(zip(out["token"], out["n_occurrences"])) == want
         assert out["n_docs"].tolist() == [dfreq[t] for t, _ in want]
+
+
+class TestDecontaminateNgrams:
+    def test_planted_overlap_flagged(self, ray_session, tmp_path):
+        """Corpus docs that copy an 8-gram from a benchmark doc must be
+        flagged with the exact distinct-gram hit count; clean docs and
+        docs shorter than n tokens must report 0 hits."""
+        import pyarrow.parquet as pq
+
+        from record_linkage_ldu_ray.pipelines.docdedup import decontaminate_ngrams
+
+        bench_text = " ".join(f"b{i}" for i in range(20))  # doc_id 0 (0 % 25 == 0)
+        gram = " ".join(f"b{i}" for i in range(8))  # bench 8-gram b0..b7
+        rows = {
+            0: bench_text,
+            1: "clean " + " ".join(f"c{i}" for i in range(30)),
+            2: f"prefix {gram} suffix " + " ".join(f"d{i}" for i in range(10)),
+            3: f"{gram} and {gram}",  # duplicated gram counts ONCE (distinct)
+            4: "tiny doc under n tokens",
+        }
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(rows), pa.int64()),
+                "text": pa.array(list(rows.values())),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["src0"] * len(rows)),
+                "n_chars": pa.array([len(v) for v in rows.values()], pa.int64()),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, f"{d}/documents.parquet")
+
+        got = (
+            decontaminate_ngrams(str(d))
+            .to_pandas()
+            .sort_values("doc_id")
+            .set_index("doc_id")
+        )
+        assert list(got.index) == [1, 2, 3, 4]  # bench doc 0 excluded
+        assert got.loc[1, "n_hits"] == 0 and not got.loc[1, "contaminated"]
+        # doc 2 contains b0..b7 → exactly 1 distinct bench gram
+        assert got.loc[2, "n_hits"] == 1 and got.loc[2, "contaminated"]
+        # doc 3: the same gram twice plus overlap grams crossing "and":
+        # only grams fully inside a b0..b7 run match the bench set → window
+        # b0..b7 occurs (distinct) once; crossing grams contain "and"/"b0.."
+        # tokens in bench order? bench grams are all 8-windows of b0..b19,
+        # so e.g. "b1..b7 and" is NOT a bench gram but "b0..b7" is; distinct
+        # hit count is 1
+        assert got.loc[3, "n_hits"] == 1 and got.loc[3, "contaminated"]
+        assert got.loc[4, "n_hits"] == 0 and not got.loc[4, "contaminated"]
