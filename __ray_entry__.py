@@ -234,6 +234,14 @@ def _q_token_counts(sf_dir: str):
     return token_counts(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_repetition_scores(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import repetition_scores
+
+    return repetition_scores(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_dedup_keep_best(sf_dir: str):
     import ray.data
 
@@ -836,6 +844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "distinct_tokens_hll": _q_distinct_tokens_hll,
         "quality_scores": _q_quality_scores,
+        "repetition_scores": _q_repetition_scores,
         "lang_id": _q_lang_id,
         "content_fingerprints": _q_content_fingerprints,
         "winnowing_fingerprints": _q_winnowing,
@@ -1038,6 +1047,33 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "repetition_scores": f"""
+            WITH toks AS (SELECT doc_id, {_WS_WORDS} AS w FROM documents),
+            tok_stats AS (
+              SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+              FROM toks),
+            grams AS (
+              SELECT doc_id, w[i] || ' ' || w[i+1] AS g
+              FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)),
+            gcnt AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+            gstats AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS total2,
+                     CAST(count(*) AS BIGINT) AS distinct2,
+                     CAST(max(c) AS BIGINT) AS top2
+              FROM gcnt GROUP BY doc_id)
+            SELECT t.doc_id, t.n_tokens,
+                   CASE WHEN t.n_tokens = 0 THEN 0.0
+                        ELSE 1.0 - CAST(t.n_distinct AS DOUBLE)
+                                   / CAST(t.n_tokens AS DOUBLE) END AS dup_token_frac,
+                   CASE WHEN COALESCE(g.total2, 0) = 0 THEN 0.0
+                        ELSE 1.0 - CAST(g.distinct2 AS DOUBLE)
+                                   / CAST(g.total2 AS DOUBLE) END AS dup_2gram_frac,
+                   CASE WHEN COALESCE(g.total2, 0) = 0 THEN 0.0
+                        ELSE CAST(g.top2 AS DOUBLE)
+                             / CAST(g.total2 AS DOUBLE) END AS top_2gram_frac
+            FROM tok_stats t LEFT JOIN gstats g USING (doc_id)
         """,
         "token_counts": f"""
             SELECT doc_id,

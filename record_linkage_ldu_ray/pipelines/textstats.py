@@ -884,3 +884,96 @@ def winnowing_fingerprints(
     return ds.select_columns([id_col, text_col]).map_batches(
         _fp, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def repetition_scores(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style within-document repetition signals, per document:
+
+    - ``n_tokens``        whitespace token count
+    - ``dup_token_frac``  1 − distinct/total tokens
+    - ``dup_2gram_frac``  1 − distinct/total word 2-grams
+    - ``top_2gram_frac``  occurrences of the most frequent 2-gram ÷ total
+
+    Embarrassingly parallel (one ``map_batches``, no shuffle): tokens are
+    hashed once per batch (the same fnv1a kernel as the dedup suite), the
+    2-gram key is a rolling combine of adjacent token hashes, and both
+    distinct counts and the per-doc most-frequent-gram count come from ONE
+    two-level vectorized polars group-by — no Python per row.  These are
+    the repetition filters of Rae et al. 2021 ("Scaling Language Models",
+    Gopher §A1.1) used by every large-scale curation stack.
+
+    Docs with no tokens (or a single token → no 2-grams) score 0.0 on the
+    affected fractions rather than NaN.
+    """
+
+    def _scores(t: pa.Table) -> pa.Table:
+        texts = t[text_col].combine_chunks()
+        s = (
+            pl.from_arrow(texts)
+            .str.strip_chars()
+            .str.replace_all(r"\s+", " ")
+            .str.split(" ")
+            .list.eval(pl.element().filter(pl.element() != ""))
+        )
+        arr = s.to_arrow()
+        if pa.types.is_large_list(arr.type):
+            arr = arr.cast(pa.list_(pa.string()))
+        arr = arr.fill_null([])
+        offs = arr.offsets.to_numpy().astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        ndocs = len(arr)
+        flat = arr.flatten()
+        th = fnv1a_hash_strings(flat) if len(flat) else np.empty(0, np.uint64)
+        doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+
+        # distinct tokens per doc: sort (doc, hash), count run starts
+        n_distinct = np.zeros(ndocs, np.int64)
+        if len(th):
+            order = np.lexsort((th, doc_of))
+            sh, sd = th[order], doc_of[order]
+            new = np.ones(len(sh), bool)
+            new[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+            np.add.at(n_distinct, sd[new], 1)
+
+        # 2-gram hashes: rolling combine of adjacent token hashes
+        n_tok = lens.astype(np.int64)
+        total2 = np.maximum(n_tok - 1, 0)
+        distinct2 = np.zeros(ndocs, np.int64)
+        top2 = np.zeros(ndocs, np.int64)
+        if len(th) > 1:
+            with np.errstate(over="ignore"):
+                comb = splitmix64(th * np.uint64(0x100000001B3) ^ np.roll(th, -1))
+            pos = np.arange(len(th), dtype=np.int64) - np.repeat(offs[:-1], lens)
+            valid = pos < np.repeat(lens, lens) - 1
+            g, gd = comb[valid], doc_of[valid]
+            if len(g):
+                cnt = (
+                    pl.DataFrame({"d": gd, "g": g})
+                    .group_by("d", "g")
+                    .len()
+                    .group_by("d")
+                    .agg(
+                        pl.len().cast(pl.Int64).alias("distinct2"),
+                        pl.col("len").max().cast(pl.Int64).alias("top2"),
+                    )
+                )
+                dix = cnt["d"].to_numpy()
+                distinct2[dix] = cnt["distinct2"].to_numpy()
+                top2[dix] = cnt["top2"].to_numpy()
+
+        tok_f = np.where(n_tok > 0, 1.0 - n_distinct / np.maximum(n_tok, 1), 0.0)
+        g_f = np.where(total2 > 0, 1.0 - distinct2 / np.maximum(total2, 1), 0.0)
+        t_f = np.where(total2 > 0, top2 / np.maximum(total2, 1), 0.0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "dup_token_frac": pa.array(tok_f, pa.float64()),
+                "dup_2gram_frac": pa.array(g_f, pa.float64()),
+                "top_2gram_frac": pa.array(t_f, pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _scores, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -483,3 +483,41 @@ class TestDecontaminateNgrams:
         # hit count is 1
         assert got.loc[3, "n_hits"] == 1 and got.loc[3, "contaminated"]
         assert got.loc[4, "n_hits"] == 0 and not got.loc[4, "contaminated"]
+
+
+class TestRepetitionScores:
+    def test_edge_cases_and_counts(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import repetition_scores
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "",  # no tokens → all fracs 0
+                        "solo",  # 1 token → no 2-grams
+                        "a a a a",  # 4 tokens, 1 distinct; 3 identical 2-grams
+                        "x y x y x",  # grams: xy yx xy yx → top 2/4, distinct 2/4
+                        "all distinct words here now",
+                    ]
+                ),
+            }
+        )
+        got = (
+            repetition_scores(ray.data.from_arrow(t))
+            .to_pandas()
+            .sort_values("doc_id")
+            .set_index("doc_id")
+        )
+        assert got.loc[0, "n_tokens"] == 0 and got.loc[0, "dup_token_frac"] == 0.0
+        assert got.loc[1, "n_tokens"] == 1 and got.loc[1, "top_2gram_frac"] == 0.0
+        assert got.loc[2, "dup_token_frac"] == 1.0 - 1 / 4
+        assert got.loc[2, "dup_2gram_frac"] == 1.0 - 1 / 3
+        assert got.loc[2, "top_2gram_frac"] == 1.0
+        assert got.loc[3, "dup_2gram_frac"] == 0.5
+        assert got.loc[3, "top_2gram_frac"] == 0.5
+        assert got.loc[4, "dup_token_frac"] == 0.0
+        assert got.loc[4, "dup_2gram_frac"] == 0.0
+        assert got.loc[4, "top_2gram_frac"] == 1 / 4
