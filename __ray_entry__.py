@@ -622,6 +622,12 @@ def _q_user_event_features(sf_dir: str):
     return user_event_features(sf_dir)
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import revenue_by_nation
+
+    return revenue_by_nation(sf_dir)
+
+
 def _q_global_rank(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import global_rank
 
@@ -811,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
         "top_orders": _q_top_orders,
+        "revenue_by_nation": _q_revenue_by_nation,
         "global_rank": _q_global_rank,
         "top_events_per_user": _q_top_events_per_user,
         "user_event_features": _q_user_event_features,
@@ -904,6 +911,17 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
             FROM orders ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                        AS BIGINT) AS revenue_c4
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n_name
         """,
         "global_rank": """
             SELECT o_orderkey,

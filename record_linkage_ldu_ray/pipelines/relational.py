@@ -843,3 +843,162 @@ def top_events_per_user(sf_dir: str, k: int = 3, num_parts: int = 32):
         num_parts,
         _final,
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed equi-join: hash-partitioned shuffle join + broadcast dims
+
+
+def hash_join(left, right, on: str, num_parts: int = 32):
+    """Distributed inner equi-join of two Datasets on one key column.
+
+    Both sides are padded to a COMMON schema (missing columns null, plus a
+    ``side`` tag), unioned, and hash-partitioned by the key through ONE
+    exchange; each partition then joins its co-located halves with a
+    single vectorized polars join.  This is the shuffle-join shape that
+    scales: the exchange is the only all-to-all, and both sides move
+    exactly once regardless of their relative sizes.  (For a dimension
+    table that fits in memory, broadcast it instead — see
+    ``revenue_by_nation``.)  Key columns must not collide with non-key
+    column names across sides.
+    """
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_names = list(l_schema.names)
+    r_names = list(r_schema.names)
+    overlap = (set(l_names) & set(r_names)) - {on}
+    if overlap:
+        raise ValueError(f"non-key columns collide across sides: {sorted(overlap)}")
+    types = {n: t for n, t in zip(l_names, l_schema.types)}
+    types.update({n: t for n, t in zip(r_names, r_schema.types)})
+    all_names = [on] + [n for n in l_names + r_names if n != on]
+
+    def _pad(side: int, present: list[str]):
+        def _f(t: pa.Table) -> pa.Table:
+            n = len(t)
+            cols = {}
+            for name in all_names:
+                if name in present:
+                    cols[name] = t[name]
+                else:
+                    cols[name] = pa.nulls(n, types[name])
+            cols["side"] = pa.array(np.full(n, side, np.int8), pa.int8())
+            h = fnv1a_hash_strings(pa.table({on: cols[on]})[on].cast(pa.string()))
+            cols["part"] = pa.array(
+                (h % np.uint64(num_parts)).astype(np.int32), pa.int32()
+            )
+            return pa.table(cols)
+
+        return _f
+
+    tagged = left.map_batches(
+        _pad(0, l_names), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(_pad(1, r_names), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    keep_l = [n for n in l_names if n != on]
+    keep_r = [n for n in r_names if n != on]
+
+    def _join(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        lf = df.filter(pl.col("side") == 0).select([on, *keep_l])
+        rf = df.filter(pl.col("side") == 1).select([on, *keep_r])
+        return lf.join(rf, on=on, how="inner").to_arrow()
+
+    return partitioned_map(tagged, ["part"], num_parts, _join)
+
+
+def revenue_by_nation(sf_dir: str, num_parts: int = 32):
+    """TPC-H Q5-shaped multi-join: revenue by customer nation.
+
+    Join topology chosen by side size, the way a 100 TB plan would be:
+    nation ⋈ region are TINY → read once on the driver and broadcast as a
+    custkey-side lookup; customer ⋈ orders and (orders) ⋈ lineitem are
+    big-big → the ``hash_join`` shuffle join, each key moving through one
+    exchange.  Revenue is exact integer arithmetic:
+    ``round(extprice·100) · (100 − round(discount·100))`` summed per
+    nation (units of 10⁻⁴ dollars), with a per-block partial aggregate so
+    the final exchange carries ≤ |nations| rows per block.
+    """
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_arrow_refs()
+    nat = pa.concat_tables(ray.get(nation))
+    nat_keys = nat["n_nationkey"].to_numpy()
+    order = np.argsort(nat_keys)
+    nat_ref = ray.put(
+        (nat_keys[order], nat["n_name"].take(pa.array(order)).combine_chunks())
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+
+    def _cust_nation(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(nat_ref)
+        nk = t["c_nationkey"].to_numpy()
+        idx = np.searchsorted(keys, nk)  # nationkey is a foreign key: always hits
+        return pa.table(
+            {
+                "o_custkey": t["c_custkey"].cast(pa.int64()),
+                "n_name": names.take(pa.array(idx)),
+            }
+        )
+
+    cust_n = cust.map_batches(_cust_nation, batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    ord_n = hash_join(orders, cust_n, on="o_custkey", num_parts=num_parts).map_batches(
+        lambda t: t.select(["o_orderkey", "n_name"]).rename_columns(
+            ["l_orderkey", "n_name"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _li_rev(t: pa.Table) -> pa.Table:
+        ext = _cents(t["l_extendedprice"]).to_numpy()
+        disc = _cents(t["l_discount"]).to_numpy()
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                "rev": pa.array(ext * (100 - disc), pa.int64()),
+            }
+        )
+
+    li_rev = li.map_batches(_li_rev, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(li_rev, ord_n, on="l_orderkey", num_parts=num_parts)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["n_name", "rev"]))
+            .group_by("n_name")
+            .agg(pl.col("rev").sum().alias("revenue_c4"))
+            .to_arrow()
+        )
+
+    partials = joined.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("n_name")
+            .agg(pl.col("revenue_c4").sum())
+            .sort("n_name")
+            .to_arrow()
+        )
+
+    parts = [p for p in ray.get(partials.to_arrow_refs()) if len(p)]
+    merged = pa.concat_tables(parts, promote_options="permissive")
+    out = _merge(merged)
+    return out.set_column(0, "n_name", out["n_name"].cast(pa.string()))

@@ -453,3 +453,49 @@ class TestGroupedTopK:
         assert len(got) == len(want)
         for c in ("user_id", "event_id", "value", "rn"):
             assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+class TestHashJoin:
+    def test_inner_join_semantics(self, ray_session):
+        """Duplicate keys → per-key cross product; one-sided keys dropped;
+        null padding never leaks into the output."""
+        import pandas as pd
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.relational import hash_join
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 1, 2, 3, 5], pa.int64()),
+                "lv": pa.array(["a", "b", "c", "d", "e"]),
+            }
+        )
+        right = pa.table(
+            {
+                "k": pa.array([1, 2, 2, 4], pa.int64()),
+                "rv": pa.array([10.0, 20.0, 21.0, 40.0]),
+            }
+        )
+        got = (
+            hash_join(ray.data.from_arrow(left), ray.data.from_arrow(right), on="k")
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        want = (
+            left.to_pandas()
+            .merge(right.to_pandas(), on="k")
+            .sort_values(["k", "lv", "rv"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want)
+
+    def test_colliding_columns_rejected(self, ray_session):
+        import pytest as _pytest
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.relational import hash_join
+
+        t = pa.table({"k": [1], "v": [2]})
+        with _pytest.raises(ValueError, match="collide"):
+            hash_join(ray.data.from_arrow(t), ray.data.from_arrow(t), on="k")
