@@ -622,6 +622,18 @@ def _q_user_event_features(sf_dir: str):
     return user_event_features(sf_dir)
 
 
+def _q_hopping_window_stats(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import hopping_window_stats
+
+    return hopping_window_stats(sf_dir)
+
+
+def _q_orders_rollup(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import orders_rollup
+
+    return orders_rollup(sf_dir)
+
+
 def _q_revenue_by_nation(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import revenue_by_nation
 
@@ -823,6 +835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_features": _q_user_event_features,
         "sessionize_events": _q_sessionize_events,
         "tumbling_window_stats": _q_tumbling_window_stats,
+        "hopping_window_stats": _q_hopping_window_stats,
+        "orders_rollup": _q_orders_rollup,
         "clicks_last_purchase": _q_clicks_last_purchase,
         "purchase_click_attribution": _q_purchase_click_attribution,
         # dedup suite
@@ -911,6 +925,26 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
             FROM orders ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100
+        """,
+        "hopping_window_stats": """
+            WITH e AS (SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents,
+                              (epoch_us(ts) // 900000000) * 900000000 AS b
+                       FROM events),
+            f AS (SELECT user_id,
+                         make_timestamp(b - s * CAST(900000000 AS BIGINT)) AS window_start,
+                         cents
+                  FROM e, (SELECT unnest([0, 1, 2, 3]) AS s) t
+                  WHERE b - s * CAST(900000000 AS BIGINT) > epoch_us(ts) - 3600000000)
+            SELECT user_id, window_start, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM f GROUP BY user_id, window_start
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                     AS sum_totalprice_cents
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "revenue_by_nation": """
             SELECT n_name,

@@ -1002,3 +1002,135 @@ def revenue_by_nation(sf_dir: str, num_parts: int = 32):
     merged = pa.concat_tables(parts, promote_options="permissive")
     out = _merge(merged)
     return out.set_column(0, "n_name", out["n_name"].cast(pa.string()))
+
+
+def hopping_window_stats(
+    sf_dir: str, window_minutes: int = 60, hop_minutes: int = 15, num_parts: int = 32
+):
+    """Hopping (sliding) windowed aggregate: every event contributes to all
+    ``window/hop`` overlapping windows it falls in; per (user_id,
+    window_start) count + integer-cents value sum.
+
+    Same two-level shape as ``tumbling_window_stats`` with one extra
+    VECTORIZED fan-out step: each batch repeats its rows window/hop times
+    with shifted window starts (an Arrow take + arithmetic — no Python per
+    row), combines locally per (user, window), and only the combined
+    partials (≤ distinct user-windows per batch) enter the single hash
+    exchange.  Fan-out before combine keeps the exchange O(windows), not
+    O(events × windows).
+
+    Output: (user_id, window_start, n_events:int64, sum_value_cents:int64).
+    """
+    assert window_minutes % hop_minutes == 0, "window must be a multiple of hop"
+    k = window_minutes // hop_minutes
+    hop_us = np.int64(hop_minutes) * 60 * 1_000_000
+    win_us = np.int64(window_minutes) * 60 * 1_000_000
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ts = t["ts"].cast(pa.timestamp("us")).to_numpy().astype("datetime64[us]")
+        us = ts.astype(np.int64)
+        uid = t["user_id"].to_numpy()
+        cents = _cents(t["value"]).to_numpy()
+        # windows containing ts: starts in (ts - window, ts] on the hop grid
+        last_start = (us // hop_us) * hop_us  # latest grid start ≤ ts
+        idx = np.repeat(np.arange(n, dtype=np.int64), k)
+        shift = np.tile(np.arange(k, dtype=np.int64), n)
+        starts = last_start[idx] - shift * hop_us
+        keep = starts > us[idx] - win_us  # window [start, start+win) contains ts
+        idx, starts = idx[keep], starts[keep]
+        df = pl.DataFrame(
+            {
+                "user_id": uid[idx],
+                "window_start": starts.astype("datetime64[us]"),
+                "cents": cents[idx],
+            }
+        )
+        out = (
+            df.group_by(["user_id", "window_start"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                pl.col("cents").sum().alias("sum_value_cents"),
+            )
+            .to_arrow()
+        )
+        h = fnv1a_hash_strings(out["user_id"].cast(pa.string()))
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .group_by(["user_id", "window_start"])
+            .agg(pl.col("n_events").sum(), pl.col("sum_value_cents").sum())
+            .sort(["user_id", "window_start"])
+            .to_arrow()
+        )
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_map(partials, ["part"], num_parts, _merge)
+
+
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority): counts + integer-cents totals at
+    all three grains (status×priority, status, grand total).
+
+    Scale shape: the fact table combines per block at the FINEST grain
+    (tiny partials), one driver merge, and the coarser rollup levels are
+    derived from the finest aggregate — never from a second scan.  NULL
+    marks the rolled-up dimension exactly like SQL ROLLUP.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .with_columns((pl.col("o_totalprice") * 100).round(0).cast(pl.Int64).alias("c"))
+            .group_by(["o_orderstatus", "o_orderpriority"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_orders"),
+                pl.col("c").sum().alias("sum_totalprice_cents"),
+            )
+            .to_arrow()
+        )
+
+    parts = [
+        p
+        for p in ray.get(
+            ds.map_batches(
+                _partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if len(p)
+    ]
+    fine = (
+        pl.from_arrow(pa.concat_tables(parts, promote_options="permissive"))
+        .group_by(["o_orderstatus", "o_orderpriority"])
+        .agg(pl.col("n_orders").sum(), pl.col("sum_totalprice_cents").sum())
+    )
+    by_status = fine.group_by("o_orderstatus").agg(
+        pl.col("n_orders").sum(), pl.col("sum_totalprice_cents").sum()
+    ).with_columns(pl.lit(None, pl.String).alias("o_orderpriority"))
+    total = fine.select(
+        pl.col("n_orders").sum(), pl.col("sum_totalprice_cents").sum()
+    ).with_columns(
+        pl.lit(None, pl.String).alias("o_orderstatus"),
+        pl.lit(None, pl.String).alias("o_orderpriority"),
+    )
+    cols = ["o_orderstatus", "o_orderpriority", "n_orders", "sum_totalprice_cents"]
+    out = pl.concat([fine.select(cols), by_status.select(cols), total.select(cols)])
+    out = out.sort(cols[:2], nulls_last=True)
+    t = out.to_arrow()
+    return t.set_column(0, "o_orderstatus", t["o_orderstatus"].cast(pa.string())).set_column(
+        1, "o_orderpriority", t["o_orderpriority"].cast(pa.string())
+    )

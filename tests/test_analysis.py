@@ -499,3 +499,81 @@ class TestHashJoin:
         t = pa.table({"k": [1], "v": [2]})
         with _pytest.raises(ValueError, match="collide"):
             hash_join(ray.data.from_arrow(t), ray.data.from_arrow(t), on="k")
+
+
+class TestHoppingWindow:
+    def test_each_event_in_window_over_hop_windows(self, ray_session, tmp_path):
+        """Every event must appear in exactly window/hop windows, and window
+        sums must equal a brute-force per-window scan."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from record_linkage_ldu_ray.pipelines.relational import hopping_window_stats
+
+        rng = np.random.default_rng(17)
+        n = 2000
+        base = dt.datetime(2024, 3, 1)
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "ts": pd.to_datetime(
+                    [base + dt.timedelta(seconds=int(s)) for s in rng.integers(0, 6 * 3600, n)]
+                ).astype("datetime64[us]"),
+                "user_id": rng.integers(0, 10, n),
+                "event_type": ["view"] * n,
+                "value": np.round(rng.uniform(0, 9, n), 2),
+                "props": ["{}"] * n,
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), f"{d}/events.parquet")
+
+        got = hopping_window_stats(str(d), window_minutes=60, hop_minutes=15).to_pandas()
+        # every event lands in exactly 4 windows
+        assert got["n_events"].sum() == 4 * n
+        # brute force one (user, window) cell
+        row = got.sort_values("n_events", ascending=False).iloc[0]
+        u, ws = row["user_id"], row["window_start"]
+        sel = df[(df["user_id"] == u) & (df["ts"] >= ws) & (df["ts"] < ws + pd.Timedelta(minutes=60))]
+        assert row["n_events"] == len(sel)
+        assert row["sum_value_cents"] == int((sel["value"] * 100).round().astype("int64").sum())
+
+
+class TestOrdersRollup:
+    def test_levels_consistent(self, ray_session, tmp_path):
+        """Rollup levels derived from the finest grain must be internally
+        consistent: status rows = sum of their (status, priority) rows and
+        the grand total = sum of status rows."""
+        from record_linkage_ldu_ray.pipelines.relational import orders_rollup
+
+        rng = np.random.default_rng(19)
+        n = 3000
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "o_custkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "o_orderstatus": pa.array(rng.choice(["O", "F", "P"], n)),
+                "o_totalprice": pa.array(np.round(rng.uniform(1, 9, n), 2)),
+                "o_orderdate": pa.array(
+                    np.full(n, np.datetime64("2024-01-01", "us"))
+                ),
+                "o_orderpriority": pa.array(rng.choice(["1-URGENT", "2-HIGH"], n)),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, f"{d}/orders.parquet")
+
+        got = orders_rollup(str(d)).to_pandas()
+        fine = got[got["o_orderpriority"].notna()]
+        mid = got[got["o_orderpriority"].isna() & got["o_orderstatus"].notna()]
+        top = got[got["o_orderstatus"].isna()]
+        assert len(top) == 1 and top["n_orders"].iloc[0] == n
+        assert fine["n_orders"].sum() == n and mid["n_orders"].sum() == n
+        for _, m in mid.iterrows():
+            sub = fine[fine["o_orderstatus"] == m["o_orderstatus"]]
+            assert m["n_orders"] == sub["n_orders"].sum()
+            assert m["sum_totalprice_cents"] == sub["sum_totalprice_cents"].sum()
+        assert top["sum_totalprice_cents"].iloc[0] == fine["sum_totalprice_cents"].sum()
