@@ -622,6 +622,18 @@ def _q_user_event_features(sf_dir: str):
     return user_event_features(sf_dir)
 
 
+def _q_events_pivot(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import events_pivot
+
+    return events_pivot(sf_dir)
+
+
+def _q_value_quantile_sketch(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.textstats import value_quantile_sketch
+
+    return value_quantile_sketch(sf_dir)
+
+
 def _q_hopping_window_stats(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import hopping_window_stats
 
@@ -837,6 +849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_stats": _q_tumbling_window_stats,
         "hopping_window_stats": _q_hopping_window_stats,
         "orders_rollup": _q_orders_rollup,
+        "events_pivot": _q_events_pivot,
+        "value_quantile_sketch": _q_value_quantile_sketch,
         "clicks_last_purchase": _q_clicks_last_purchase,
         "purchase_click_attribution": _q_purchase_click_attribution,
         # dedup suite
@@ -925,6 +939,21 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
             FROM orders ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100
+        """,
+        "events_pivot": """
+            SELECT user_id,
+              CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_click,
+              CAST(sum(CASE WHEN event_type='error' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_error,
+              CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_purchase,
+              CAST(sum(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_signup,
+              CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_view,
+              CAST(SUM(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY user_id
         """,
         "hopping_window_stats": """
             WITH e AS (SELECT user_id, ts, CAST(round(value*100) AS BIGINT) AS cents,

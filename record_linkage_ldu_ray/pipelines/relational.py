@@ -1134,3 +1134,62 @@ def orders_rollup(sf_dir: str):
     return t.set_column(0, "o_orderstatus", t["o_orderstatus"].cast(pa.string())).set_column(
         1, "o_orderpriority", t["o_orderpriority"].cast(pa.string())
     )
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str, num_parts: int = 32):
+    """Pivot the event stream to one wide row per user: a count column per
+    event type plus the total value in cents.
+
+    The pivot is a pure combiner shape: each block group-bys to one
+    partial row per user it contains (conditional counts vectorized as a
+    polars pivot-by-aggregation — the type set is FIXED config, so the
+    schema is static and blocks combine independently), and the single
+    hash exchange carries wide partials, not events.  A dynamic column set
+    would need a first pass to discover types; fixed vocabularies are the
+    scale-safe form of pivot.
+
+    Output: (user_id, n_click, n_error, n_purchase, n_signup, n_view,
+    sum_value_cents) — all int64.
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    )
+
+    def _agg(df: pl.DataFrame) -> pl.DataFrame:
+        return df.group_by("user_id").agg(
+            *[
+                (pl.col("event_type") == et).cast(pl.Int64).sum().alias(f"n_{et}")
+                for et in _PIVOT_TYPES
+            ],
+            pl.col("cents").sum().alias("sum_value_cents"),
+        )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            (pl.col("value") * 100).round(0).cast(pl.Int64).alias("cents")
+        )
+        out = _agg(df).to_arrow()
+        h = fnv1a_hash_strings(out["user_id"].cast(pa.string()))
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        return (
+            df.group_by("user_id")
+            .agg(
+                *[pl.col(f"n_{et}").sum() for et in _PIVOT_TYPES],
+                pl.col("sum_value_cents").sum(),
+            )
+            .sort("user_id")
+            .to_arrow()
+        )
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_map(partials, ["part"], num_parts, _merge)

@@ -977,3 +977,87 @@ def repetition_scores(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: 
     return ds.select_columns([id_col, text_col]).map_batches(
         _scores, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def value_quantile_sketch(
+    sf_dir: str, k: int = 512, qs: tuple = (0.5, 0.9, 0.99)
+):
+    """Approximate per-event-type quantiles of ``value`` via a MERGEABLE
+    deterministic bottom-k sample sketch.
+
+    Each block keeps, per group, the ``k`` rows with the smallest hash
+    priority (``splitmix64(fnv1a(event_id))`` — a deterministic uniform
+    permutation of the rows); merging partials = keep the k smallest
+    priorities again.  The result is the SAME uniform-without-replacement
+    sample at any batching / partitioning / cluster size — the property
+    that makes the sketch usable as a distributed aggregate (same
+    associative-merge contract as the HLL sketch).  Quantiles read off the
+    sample with the ``quantile_disc`` rule; rank error is O(1/√k).
+
+    Exchange volume is O(groups × k × blocks) tiny partial rows; the raw
+    stream is never shuffled.  Rows-only driver check (sampling has no SQL
+    twin); pytest pins accuracy vs exact quantiles AND partition
+    invariance.
+
+    Output: (event_type, n_sample:int64, q50_est, q90_est, q99_est).
+    """
+    import ray
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        pri = splitmix64(
+            fnv1a_hash_strings(t["event_id"].cast(pa.string()))
+        ).astype(np.uint64)
+        df = pl.DataFrame(
+            {
+                "event_type": pl.from_arrow(t["event_type"].combine_chunks()),
+                "pri": pri,
+                "value": pl.from_arrow(t["value"].combine_chunks()),
+            }
+        )
+        return (
+            df.sort("pri")
+            .group_by("event_type", maintain_order=True)
+            .head(k)
+            .to_arrow()
+        )
+
+    parts = [
+        p
+        for p in ray.get(
+            ds.map_batches(
+                _partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if len(p)
+    ]
+    merged = (
+        pl.from_arrow(pa.concat_tables(parts, promote_options="permissive"))
+        .sort("pri")
+        .group_by("event_type", maintain_order=True)
+        .head(k)
+    )
+
+    # quantile_disc read-off: sorted sample element at max(1, ceil(p*n))
+    out = (
+        merged.sort(["event_type", "value"])
+        .group_by("event_type", maintain_order=True)
+        .agg(
+            pl.len().cast(pl.Int64).alias("n_sample"),
+            *[
+                pl.col("value")
+                .sort()
+                .get(
+                    (pl.len().cast(pl.Float64) * q).ceil().cast(pl.Int64).clip(1) - 1
+                )
+                .alias(f"q{int(q * 100)}_est")
+                for q in qs
+            ],
+        )
+        .sort("event_type")
+    )
+    t = out.to_arrow()
+    return t.set_column(0, "event_type", t["event_type"].cast(pa.string()))

@@ -521,3 +521,47 @@ class TestRepetitionScores:
         assert got.loc[4, "dup_token_frac"] == 0.0
         assert got.loc[4, "dup_2gram_frac"] == 0.0
         assert got.loc[4, "top_2gram_frac"] == 1 / 4
+
+
+class TestValueQuantileSketch:
+    def test_rank_accuracy_and_partition_invariance(self, ray_session, tmp_path):
+        """The bottom-k sample sketch must (a) estimate quantiles within
+        rank error a few × 1/√k and (b) return BIT-IDENTICAL output under a
+        different input partitioning (the mergeability contract)."""
+        import pyarrow.parquet as pq
+
+        from record_linkage_ldu_ray.pipelines.textstats import value_quantile_sketch
+
+        rng = np.random.default_rng(23)
+        n = 20000
+        vals = np.round(rng.exponential(40, n), 2)  # skewed like real values
+        t = pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(np.full(n, np.datetime64("2024-01-01", "us"))),
+                "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "event_type": pa.array(rng.choice(["click", "view"], n)),
+                "value": pa.array(vals),
+                "props": pa.array(["{}"] * n),
+            }
+        )
+        d1 = tmp_path / "one"
+        d1.mkdir()
+        pq.write_table(t, f"{d1}/events.parquet")
+        d2 = tmp_path / "many"
+        d2.mkdir()
+        # same rows, 8 row-groups → different block structure
+        pq.write_table(t, f"{d2}/events.parquet", row_group_size=n // 8)
+
+        a = value_quantile_sketch(str(d1)).to_pandas()
+        b = value_quantile_sketch(str(d2)).to_pandas()
+        assert a.equals(b), "sketch must be partition-invariant"
+
+        df = t.to_pandas()
+        for et in ("click", "view"):
+            sub = np.sort(df[df.event_type == et]["value"].to_numpy())
+            row = a[a.event_type == et].iloc[0]
+            for q, col in ((0.5, "q50_est"), (0.9, "q90_est"), (0.99, "q99_est")):
+                est = row[col]
+                true_rank = np.searchsorted(sub, est, side="right") / len(sub)
+                assert abs(true_rank - q) < 0.08, (et, q, est, true_rank)
