@@ -622,6 +622,24 @@ def _q_user_event_features(sf_dir: str):
     return user_event_features(sf_dir)
 
 
+def _q_orders_no_bulk_items(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import orders_no_bulk_items
+
+    return orders_no_bulk_items(sf_dir)
+
+
+def _q_vocab_coverage_scores(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import vocab_coverage_scores
+
+    # the synthetic corpus has only ~31 distinct tokens: top_v=20 keeps the
+    # boundary inside the vocabulary so coverage actually varies per doc
+    return vocab_coverage_scores(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), top_v=20
+    )
+
+
 def _q_events_pivot(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import events_pivot
 
@@ -851,6 +869,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "events_pivot": _q_events_pivot,
         "value_quantile_sketch": _q_value_quantile_sketch,
+        "orders_no_bulk_items": _q_orders_no_bulk_items,
+        "vocab_coverage_scores": _q_vocab_coverage_scores,
         "clicks_last_purchase": _q_clicks_last_purchase,
         "purchase_click_attribution": _q_purchase_click_attribution,
         # dedup suite
@@ -939,6 +959,28 @@ def oracle_sql() -> dict[str, str]:
         "top_orders": """
             SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
             FROM orders ORDER BY totalprice_cents DESC, o_orderkey LIMIT 100
+        """,
+        "orders_no_bulk_items": """
+            SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                                AND l.l_quantity > 49.5)
+        """,
+        "vocab_coverage_scores": f"""
+            WITH w AS (SELECT doc_id, unnest({_WS_WORDS}) AS token FROM documents),
+            vocab AS (SELECT token FROM w GROUP BY token
+                      ORDER BY count(*) DESC, token LIMIT 20),
+            cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                           CAST(sum(CASE WHEN token IN (SELECT token FROM vocab)
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS n_in_vocab
+                    FROM w GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(c.n_tokens, 0) AS n_tokens,
+                   COALESCE(c.n_in_vocab, 0) AS n_in_vocab,
+                   CASE WHEN COALESCE(c.n_tokens, 0) = 0 THEN 0.0
+                        ELSE CAST(c.n_in_vocab AS DOUBLE)
+                             / CAST(c.n_tokens AS DOUBLE) END AS vocab_coverage
+            FROM documents d LEFT JOIN cov c USING (doc_id)
         """,
         "events_pivot": """
             SELECT user_id,

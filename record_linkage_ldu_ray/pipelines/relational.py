@@ -1193,3 +1193,98 @@ def events_pivot(sf_dir: str, num_parts: int = 32):
 
     partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
     return partitioned_map(partials, ["part"], num_parts, _merge)
+
+
+def hash_anti_join(left, right, on: str, num_parts: int = 32):
+    """Distributed anti-join: rows of ``left`` whose key has NO match in
+    ``right`` (SQL ``NOT EXISTS``).
+
+    The right side collapses to DISTINCT keys per block BEFORE the
+    exchange (set-membership needs keys, not rows), both sides co-locate
+    through the same single hash exchange as ``hash_join``, and each
+    partition subtracts with one vectorized ``is_in``.  Exchange volume:
+    full left + distinct right keys.
+    """
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    types = dict(zip(l_names, l_schema.types))
+    key_t = types[on] if on in types else right.schema().field(on).type
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        h = fnv1a_hash_strings(t[on].cast(pa.string()))
+        t = t.append_column("side", pa.array(np.zeros(len(t), np.int8), pa.int8()))
+        return t.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t[on].combine_chunks())
+        cols = {}
+        for name in l_names:
+            cols[name] = keys if name == on else pa.nulls(len(keys), types[name])
+        out = pa.table(cols)
+        h = fnv1a_hash_strings(out[on].cast(pa.string()))
+        out = out.append_column(
+            "side", pa.array(np.ones(len(keys), np.int8), pa.int8())
+        )
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    tagged = left.map_batches(
+        _tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.select_columns([on]).map_batches(
+            _tag_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def _anti(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy()
+        lt = t.filter(pa.array(side == 0)).drop_columns(["side", "part"])
+        rt = t.filter(pa.array(side == 1))
+        rkeys = pc.unique(rt[on].combine_chunks())
+        mask = pc.invert(pc.is_in(lt[on].combine_chunks(), value_set=rkeys))
+        return lt.filter(mask)
+
+    return partitioned_map(tagged, ["part"], num_parts, _anti)
+
+
+def orders_no_bulk_items(sf_dir: str, min_qty: float = 49.5, num_parts: int = 32):
+    """Orders with NO bulk line item (every item quantity ≤ ``min_qty``) —
+    the anti-join demonstration query: the probe side is the filtered
+    lineitem key set (filter pushed before the exchange), the left side the
+    full orders table.
+
+    Output: (o_orderkey:int64, totalprice_cents:int64).
+    """
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "totalprice_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def _bulk_keys(t: pa.Table) -> pa.Table:
+        mask = pc.greater(t["l_quantity"], pa.scalar(min_qty))
+        return pa.table(
+            {"o_orderkey": t.filter(mask)["l_orderkey"].cast(pa.int64())}
+        )
+
+    return hash_anti_join(
+        orders.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True),
+        li.map_batches(_bulk_keys, batch_format="pyarrow", zero_copy_batch=True),
+        on="o_orderkey",
+        num_parts=num_parts,
+    )

@@ -1061,3 +1061,68 @@ def value_quantile_sketch(
     )
     t = out.to_arrow()
     return t.set_column(0, "event_type", t["event_type"].cast(pa.string()))
+
+
+def vocab_coverage_scores(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_v: int = 1000,
+):
+    """Per-document vocabulary coverage: the fraction of a doc's tokens
+    that belong to the corpus top-``top_v`` vocabulary — the cheap
+    LM-free fluency/quality proxy (garbled or non-language docs score low).
+
+    Two phases, both scale-shaped: (1) the vocabulary comes from the
+    ``vocab_top_tokens`` three-level aggregation (exchange carries distinct
+    tokens per batch, never the stream; deterministic count-DESC/token-ASC
+    tie-break), (2) the top-V token HASH set (8 bytes × V) is broadcast
+    once via ``ray.put`` and the corpus streams through one vectorized
+    searchsorted membership pass — the same broadcast-probe shape as
+    decontamination.
+
+    Output: (doc_id, n_tokens:int64, n_in_vocab:int64,
+    vocab_coverage:float64 — 0.0 for empty docs).
+    """
+    import ray
+
+    vocab = vocab_top_tokens(ds, id_col=id_col, text_col=text_col, k=top_v)
+    vh = np.sort(fnv1a_hash_strings(vocab["token"])) if len(vocab) else np.empty(0, np.uint64)
+    vref = ray.put(vh)
+
+    def _cover(t: pa.Table) -> pa.Table:
+        vset = ray.get(vref)
+        s = (
+            pl.from_arrow(t[text_col].combine_chunks())
+            .str.extract_all(r"\S+")
+        )
+        arr = s.to_arrow()
+        if pa.types.is_large_list(arr.type):
+            arr = arr.cast(pa.list_(pa.string()))
+        arr = arr.fill_null([])
+        offs = arr.offsets.to_numpy().astype(np.int64)
+        lens = offs[1:] - offs[:-1]
+        flat = arr.flatten()
+        th = fnv1a_hash_strings(flat) if len(flat) else np.empty(0, np.uint64)
+        if len(vset) and len(th):
+            pos = np.searchsorted(vset, th)
+            pos[pos == len(vset)] = 0
+            hit = vset[pos] == th
+        else:
+            hit = np.zeros(len(th), bool)
+        cs = np.concatenate(([0], np.cumsum(hit, dtype=np.int64)))
+        n_in = cs[offs[1:]] - cs[offs[:-1]]
+        n_tok = lens.astype(np.int64)
+        cov = np.where(n_tok > 0, n_in / np.maximum(n_tok, 1), 0.0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_in_vocab": pa.array(n_in, pa.int64()),
+                "vocab_coverage": pa.array(cov, pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _cover, batch_format="pyarrow", zero_copy_batch=True
+    )

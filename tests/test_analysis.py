@@ -577,3 +577,28 @@ class TestOrdersRollup:
             assert m["n_orders"] == sub["n_orders"].sum()
             assert m["sum_totalprice_cents"] == sub["sum_totalprice_cents"].sum()
         assert top["sum_totalprice_cents"].iloc[0] == fine["sum_totalprice_cents"].sum()
+
+
+class TestHashAntiJoin:
+    def test_not_exists_semantics(self, ray_session):
+        """Left rows with matching right keys vanish; duplicates on either
+        side don't multiply; left rows keep their payload columns."""
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.relational import hash_anti_join
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 2, 2, 3, 4], pa.int64()),
+                "v": pa.array(["a", "b", "c", "d", "e"]),
+            }
+        )
+        right = pa.table({"k": pa.array([2, 2, 4, 9], pa.int64())})
+        got = (
+            hash_anti_join(ray.data.from_arrow(left), ray.data.from_arrow(right), on="k")
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        assert list(got["k"]) == [1, 3]
+        assert list(got["v"]) == ["a", "d"]

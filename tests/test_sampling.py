@@ -565,3 +565,37 @@ class TestValueQuantileSketch:
                 est = row[col]
                 true_rank = np.searchsorted(sub, est, side="right") / len(sub)
                 assert abs(true_rank - q) < 0.08, (et, q, est, true_rank)
+
+
+class TestVocabCoverage:
+    def test_boundary_and_empty_docs(self, ray_session):
+        """Tokens outside the top-V vocabulary lower coverage; empty docs
+        score 0.0; fully-in-vocab docs score 1.0."""
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import vocab_coverage_scores
+
+        # 'hot' appears 6×, 'warm' 3×, 'rare'/'odd' once each → top-2 vocab
+        # is {hot, warm}
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        "hot hot hot warm",
+                        "hot warm rare odd",
+                        "",
+                        "hot hot hot warm",
+                    ]
+                ),
+            }
+        )
+        got = (
+            vocab_coverage_scores(ray.data.from_arrow(t), top_v=2)
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert got.loc[0, "vocab_coverage"] == 1.0
+        assert got.loc[1, "vocab_coverage"] == 0.5
+        assert got.loc[2, "n_tokens"] == 0 and got.loc[2, "vocab_coverage"] == 0.0
+        assert got.loc[3, "n_in_vocab"] == 4
