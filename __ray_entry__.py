@@ -622,6 +622,18 @@ def _q_user_event_features(sf_dir: str):
     return user_event_features(sf_dir)
 
 
+def _q_orders_with_bulk_items(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import orders_with_bulk_items
+
+    return orders_with_bulk_items(sf_dir)
+
+
+def _q_remove_boilerplate_turns(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.docdedup import remove_boilerplate_turns
+
+    return remove_boilerplate_turns(sf_dir)
+
+
 def _q_orders_no_bulk_items(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import orders_no_bulk_items
 
@@ -870,7 +882,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "value_quantile_sketch": _q_value_quantile_sketch,
         "orders_no_bulk_items": _q_orders_no_bulk_items,
+        "orders_with_bulk_items": _q_orders_with_bulk_items,
         "vocab_coverage_scores": _q_vocab_coverage_scores,
+        "remove_boilerplate_turns": _q_remove_boilerplate_turns,
         "clicks_last_purchase": _q_clicks_last_purchase,
         "purchase_click_attribution": _q_purchase_click_attribution,
         # dedup suite
@@ -966,6 +980,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                               WHERE l.l_orderkey = o.o_orderkey
                                 AND l.l_quantity > 49.5)
+        """,
+        "orders_with_bulk_items": """
+            SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity > 49.5)
+        """,
+        "remove_boilerplate_turns": f"""
+            WITH t AS ({_TSYN_SQL}),
+            hh AS (SELECT text FROM t GROUP BY text
+                   HAVING count(DISTINCT conv_id) > 2)
+            SELECT conv_id, turn_idx, text FROM t
+            WHERE text NOT IN (SELECT text FROM hh)
         """,
         "vocab_coverage_scores": f"""
             WITH w AS (SELECT doc_id, unnest({_WS_WORDS}) AS token FROM documents),

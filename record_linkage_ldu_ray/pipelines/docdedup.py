@@ -965,3 +965,86 @@ def decontaminate_ngrams(sf_dir: str, n: int = 8, bench_mod: int = 25):
         )
 
     return ds.map_batches(_probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def remove_boilerplate_turns(sf_dir: str, max_df: int = 2, num_parts: int = 32):
+    """Cross-conversation boilerplate removal (the C4/RefinedWeb repeated-
+    line filter, at turn granularity): drop every turn whose text occurs in
+    MORE than ``max_df`` distinct conversations.
+
+    Two passes, both bounded: (1) per-batch partials count distinct
+    conversations per 8-byte turn-text hash (a conversation never splits
+    across batches — the explode is per document — so partials sum
+    exactly), one hash exchange over (hash, count) rows, and only the
+    HEAVY hashes (df > max_df: the boilerplate set is the small tail of
+    the distribution) come back to the driver; (2) the corpus streams
+    through a broadcast searchsorted membership filter — the same
+    probe shape as decontamination.  Raw text never shuffles.
+
+    Reference parity: the LDU scripts drop intra-record duplicate values
+    before comparison (``functions.py`` dedup helpers); this is the
+    corpus-level analog.
+
+    Output: the kept turns (conv_id, turn_idx:int32, text).
+    """
+    import ray
+
+    from record_linkage_ldu_ray.pipelines.relational import transcripts_from_documents
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    turns = transcripts_from_documents(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        h = fnv1a_hash_strings(t["text"].combine_chunks())
+        df = pl.DataFrame(
+            {"h": h, "conv_id": pl.from_arrow(t["conv_id"].combine_chunks())}
+        )
+        out = (
+            df.group_by("h")
+            .agg(pl.col("conv_id").n_unique().cast(pl.Int64).alias("n_convs"))
+            .to_arrow()
+        )
+        return out.append_column(
+            "part",
+            pa.array(
+                (out["h"].to_numpy() % np.uint64(num_parts)).astype(np.int32),
+                pa.int32(),
+            ),
+        )
+
+    def _heavy(t: pa.Table) -> pa.Table:
+        agg = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .group_by("h")
+            .agg(pl.col("n_convs").sum())
+            .filter(pl.col("n_convs") > max_df)
+        )
+        return pa.table({"h": agg["h"].to_arrow().cast(pa.uint64())})
+
+    partials = turns.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    heavy_parts = [
+        p
+        for p in ray.get(
+            partitioned_map(partials, ["part"], num_parts, _heavy).to_arrow_refs()
+        )
+        if len(p)
+    ]
+    heavy = (
+        np.sort(np.concatenate([p["h"].to_numpy() for p in heavy_parts]))
+        if heavy_parts
+        else np.empty(0, np.uint64)
+    )
+    heavy_ref = ray.put(heavy)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        hs = ray.get(heavy_ref)
+        h = fnv1a_hash_strings(t["text"].combine_chunks())
+        if len(hs):
+            pos = np.searchsorted(hs, h)
+            pos[pos == len(hs)] = 0
+            drop = hs[pos] == h
+        else:
+            drop = np.zeros(len(t), bool)
+        return t.select(["conv_id", "turn_idx", "text"]).filter(pa.array(~drop))
+
+    return turns.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)

@@ -1288,3 +1288,88 @@ def orders_no_bulk_items(sf_dir: str, min_qty: float = 49.5, num_parts: int = 32
         on="o_orderkey",
         num_parts=num_parts,
     )
+
+
+def hash_semi_join(left, right, on: str, num_parts: int = 32):
+    """Distributed semi-join: rows of ``left`` whose key HAS a match in
+    ``right`` (SQL ``EXISTS``) — match multiplicity never multiplies rows.
+
+    Same single-exchange plumbing as ``hash_anti_join`` (right side
+    collapses to distinct keys per block before the shuffle); the
+    per-partition probe keeps instead of subtracts.
+    """
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    l_schema = left.schema()
+    l_names = list(l_schema.names)
+    types = dict(zip(l_names, l_schema.types))
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        h = fnv1a_hash_strings(t[on].cast(pa.string()))
+        t = t.append_column("side", pa.array(np.zeros(len(t), np.int8), pa.int8()))
+        return t.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t[on].combine_chunks())
+        cols = {}
+        for name in l_names:
+            cols[name] = keys if name == on else pa.nulls(len(keys), types[name])
+        out = pa.table(cols)
+        h = fnv1a_hash_strings(out[on].cast(pa.string()))
+        out = out.append_column("side", pa.array(np.ones(len(keys), np.int8), pa.int8()))
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    tagged = left.map_batches(
+        _tag_left, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.select_columns([on]).map_batches(
+            _tag_right, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def _semi(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy()
+        lt = t.filter(pa.array(side == 0)).drop_columns(["side", "part"])
+        rt = t.filter(pa.array(side == 1))
+        rkeys = pc.unique(rt[on].combine_chunks())
+        return lt.filter(pc.is_in(lt[on].combine_chunks(), value_set=rkeys))
+
+    return partitioned_map(tagged, ["part"], num_parts, _semi)
+
+
+def orders_with_bulk_items(sf_dir: str, min_qty: float = 49.5, num_parts: int = 32):
+    """Semi-join demonstration: orders having ≥1 bulk line item — each such
+    order appears EXACTLY ONCE however many bulk items it has.
+
+    Output: (o_orderkey:int64, totalprice_cents:int64).
+    """
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "totalprice_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def _bulk_keys(t: pa.Table) -> pa.Table:
+        mask = pc.greater(t["l_quantity"], pa.scalar(min_qty))
+        return pa.table({"o_orderkey": t.filter(mask)["l_orderkey"].cast(pa.int64())})
+
+    return hash_semi_join(
+        orders.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True),
+        li.map_batches(_bulk_keys, batch_format="pyarrow", zero_copy_batch=True),
+        on="o_orderkey",
+        num_parts=num_parts,
+    )

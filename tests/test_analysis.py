@@ -602,3 +602,27 @@ class TestHashAntiJoin:
         )
         assert list(got["k"]) == [1, 3]
         assert list(got["v"]) == ["a", "d"]
+
+
+class TestHashSemiJoin:
+    def test_exists_semantics_no_multiplication(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.relational import hash_semi_join
+
+        left = pa.table(
+            {
+                "k": pa.array([1, 2, 2, 3, 4], pa.int64()),
+                "v": pa.array(["a", "b", "c", "d", "e"]),
+            }
+        )
+        # key 2 matches THREE right rows → left rows must not multiply
+        right = pa.table({"k": pa.array([2, 2, 2, 4], pa.int64())})
+        got = (
+            hash_semi_join(ray.data.from_arrow(left), ray.data.from_arrow(right), on="k")
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        assert list(got["k"]) == [2, 2, 4]
+        assert list(got["v"]) == ["b", "c", "e"]

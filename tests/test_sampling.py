@@ -599,3 +599,36 @@ class TestVocabCoverage:
         assert got.loc[1, "vocab_coverage"] == 0.5
         assert got.loc[2, "n_tokens"] == 0 and got.loc[2, "vocab_coverage"] == 0.0
         assert got.loc[3, "n_in_vocab"] == 4
+
+
+class TestRemoveBoilerplateTurns:
+    def test_planted_boilerplate_dropped(self, ray_session, tmp_path):
+        """A turn text planted across many docs must be dropped everywhere;
+        unique turns survive with their (conv_id, turn_idx) intact."""
+        import pyarrow.parquet as pq
+
+        from record_linkage_ldu_ray.pipelines.docdedup import remove_boilerplate_turns
+
+        boiler = " ".join(f"b{i}" for i in range(8))  # one full 8-token turn
+        texts = []
+        for d in range(6):
+            uniq = " ".join(f"u{d}x{i}" for i in range(8))
+            # turn 0 = boilerplate (shared by all docs), turn 1 = unique
+            texts.append(boiler + " " + uniq)
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * 6),
+                "source": pa.array(["src0"] * 6),
+                "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, f"{d}/documents.parquet")
+
+        got = remove_boilerplate_turns(str(d), max_df=2).to_pandas()
+        assert (got["turn_idx"] == 1).all()  # every boilerplate turn dropped
+        assert len(got) == 6  # each doc keeps its unique turn
+        assert not got["text"].str.startswith("b0").any()
