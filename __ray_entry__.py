@@ -622,6 +622,12 @@ def _q_user_event_features(sf_dir: str):
     return user_event_features(sf_dir)
 
 
+def _q_json_props_stats(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import json_props_stats
+
+    return json_props_stats(sf_dir)
+
+
 def _q_orders_with_bulk_items(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import orders_with_bulk_items
 
@@ -883,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantile_sketch": _q_value_quantile_sketch,
         "orders_no_bulk_items": _q_orders_no_bulk_items,
         "orders_with_bulk_items": _q_orders_with_bulk_items,
+        "json_props_stats": _q_json_props_stats,
         "vocab_coverage_scores": _q_vocab_coverage_scores,
         "remove_boilerplate_turns": _q_remove_boilerplate_turns,
         "clicks_last_purchase": _q_clicks_last_purchase,
@@ -980,6 +987,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                               WHERE l.l_orderkey = o.o_orderkey
                                 AND l.l_quantity > 49.5)
+        """,
+        "json_props_stats": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS min_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS max_k
+            FROM events GROUP BY event_type
         """,
         "orders_with_bulk_items": """
             SELECT o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents

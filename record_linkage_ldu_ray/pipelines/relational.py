@@ -1373,3 +1373,62 @@ def orders_with_bulk_items(sf_dir: str, min_qty: float = 49.5, num_parts: int = 
         on="o_orderkey",
         num_parts=num_parts,
     )
+
+
+def json_props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the ``props`` JSON column
+    (vectorized ``json_path_match``, no per-row Python), pull the integer
+    field ``k`` and aggregate it per event type.
+
+    Combiner shape: each block reduces to ≤ |event types| partial rows
+    (count / sum / min / max are all associative), tiny driver merge.
+
+    Output: (event_type, n_events:int64, sum_k:int64, min_k:int64,
+    max_k:int64).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                "event_type": pl.from_arrow(t["event_type"].combine_chunks()),
+                "k": pl.from_arrow(t["props"].combine_chunks())
+                .str.json_path_match("$.k")
+                .cast(pl.Int64),
+            }
+        )
+        return (
+            df.group_by("event_type")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                pl.col("k").sum().alias("sum_k"),
+                pl.col("k").min().alias("min_k"),
+                pl.col("k").max().alias("max_k"),
+            )
+            .to_arrow()
+        )
+
+    parts = [
+        p
+        for p in ray.get(
+            ds.map_batches(
+                _partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if len(p)
+    ]
+    out = (
+        pl.from_arrow(pa.concat_tables(parts, promote_options="permissive"))
+        .group_by("event_type")
+        .agg(
+            pl.col("n_events").sum(),
+            pl.col("sum_k").sum(),
+            pl.col("min_k").min(),
+            pl.col("max_k").max(),
+        )
+        .sort("event_type")
+        .to_arrow()
+    )
+    return out.set_column(0, "event_type", out["event_type"].cast(pa.string()))

@@ -57,8 +57,39 @@ def read_transcripts_csv(path: str, delimiter: str = ";", columns: list[str] | N
     return ds.map_batches(_cast, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def read_transcripts_jsonl(path: str, columns: list[str] | None = None):
+    """JSONL ingest (the interchange format of LLM training corpora).
+
+    Arrow's JSON reader infers types per block; the cast step pins the
+    canonical transcript schema (int32 turn_idx, timestamp[us] ts) so
+    downstream stages see identical batches whatever the source format.
+    """
+    ds = ray.data.read_json(path, file_extensions=["jsonl", "json"])
+    if columns:
+        ds = ds.select_columns(columns)
+
+    def _cast(t):
+        import pyarrow as pa
+
+        cols = {}
+        for name in t.column_names:
+            col = t[name]
+            if name == "turn_idx":
+                col = col.cast(pa.int32())
+            elif name == "ts" and not pa.types.is_timestamp(col.type):
+                col = col.cast(pa.timestamp("us"))
+            elif pa.types.is_large_string(col.type):
+                col = col.cast(pa.string())
+            cols[name] = col
+        return pa.table(cols)
+
+    return ds.map_batches(_cast, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def read_table(path: str, **kwargs):
-    """Extension-dispatch reader (parquet | csv)."""
+    """Extension-dispatch reader (parquet | csv | jsonl)."""
     if path.endswith(".csv"):
         return read_transcripts_csv(path, **kwargs)
+    if path.endswith((".jsonl", ".json")):
+        return read_transcripts_jsonl(path, **kwargs)
     return read_transcripts_parquet(path, **kwargs)

@@ -626,3 +626,43 @@ class TestHashSemiJoin:
         )
         assert list(got["k"]) == [2, 2, 4]
         assert list(got["v"]) == ["b", "c", "e"]
+
+
+class TestJsonlReader:
+    def test_jsonl_roundtrip_matches_parquet(self, ray_session, tmp_path):
+        """The JSONL reader must deliver the same canonical transcript
+        schema and rows as the parquet reader."""
+        import json
+
+        from record_linkage_ldu_ray.sources.readers import (
+            read_table,
+            read_transcripts_jsonl,
+        )
+
+        rows = [
+            {
+                "conv_id": f"c{i}",
+                "turn_idx": i % 3,
+                "role": "user" if i % 2 == 0 else "assistant",
+                "text": f"turn text {i}",
+                "tool": None if i % 3 else "search",
+                "ts": f"2024-01-01T00:00:{i:02d}",
+            }
+            for i in range(20)
+        ]
+        p = tmp_path / "t.jsonl"
+        p.write_text("\n".join(json.dumps(r) for r in rows))
+
+        got = (
+            read_transcripts_jsonl(str(p))
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == 20
+        assert str(got["turn_idx"].dtype) == "int32"
+        assert "datetime64" in str(got["ts"].dtype)
+        assert got.loc[0, "conv_id"] == "c0" and got.loc[0, "text"] == "turn text 0"
+        # extension dispatch
+        got2 = read_table(str(p)).to_pandas()
+        assert len(got2) == 20
