@@ -622,6 +622,17 @@ def _q_user_event_features(sf_dir: str):
     return user_event_features(sf_dir)
 
 
+def _q_profile_events(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.analysis import profile_table
+
+    return profile_table(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet"),
+        ["event_id", "user_id", "event_type", "value", "props", "ts"],
+    )
+
+
 def _q_json_props_stats(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import json_props_stats
 
@@ -890,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_no_bulk_items": _q_orders_no_bulk_items,
         "orders_with_bulk_items": _q_orders_with_bulk_items,
         "json_props_stats": _q_json_props_stats,
+        "profile_events": _q_profile_events,
         "vocab_coverage_scores": _q_vocab_coverage_scores,
         "remove_boilerplate_turns": _q_remove_boilerplate_turns,
         "clicks_last_purchase": _q_clicks_last_purchase,
@@ -988,6 +1000,12 @@ def oracle_sql() -> dict[str, str]:
                               WHERE l.l_orderkey = o.o_orderkey
                                 AND l.l_quantity > 49.5)
         """,
+        "profile_events": " UNION ALL ".join(
+            f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(count(*) - count({c}) AS BIGINT) AS n_nulls, "
+            f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"
+            for c in ["event_id", "user_id", "event_type", "value", "props", "ts"]
+        ),
         "json_props_stats": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

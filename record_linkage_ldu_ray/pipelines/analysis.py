@@ -215,3 +215,113 @@ def score_histograms(
     merged = parts.groupby(["column", "bin"], as_index=False)["count"].sum()
     merged["bin_lo"] = edges[merged["bin"]]
     return merged.sort_values(["column", "bin"]).reset_index(drop=True)
+
+
+def profile_table(ds: "ray.data.Dataset", columns: list[str], num_parts: int = 32):
+    """Exact per-column data profile: row count, null count, distinct count.
+
+    One pass, one exchange: each block emits (a) a tiny counts row per
+    column and (b) its per-column DISTINCT value hashes tagged with the
+    column index — all columns share a single hash exchange (partitioned by
+    value hash), where each partition counts the distinct hashes it
+    exclusively owns per column.  Exchange volume is the number of distinct
+    (column, value) pairs per block × 8 bytes, never the raw values.
+    Distinctness is over the value's string form, which is injective for
+    the supported types (ints, strings, timestamps, non-degenerate
+    floats) — equal up to 64-bit hash collisions.
+
+    Output: (column:string, n_rows:int64, n_nulls:int64, n_distinct:int64),
+    one row per requested column.
+    """
+    import ray.data as _rd  # noqa: F401  (ds type only)
+
+    cols = list(columns)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hs, cidx = [], []
+        counts = []
+        for i, c in enumerate(cols):
+            col = t[c].combine_chunks()
+            n_null = int(pc.sum(pc.is_null(col).cast(pa.int8())).as_py() or 0)
+            valid = col.drop_null()
+            u = pc.unique(valid.cast(pa.string()))
+            h = fnv1a_hash_strings(u)
+            hs.append(h)
+            cidx.append(np.full(len(h), i, np.int8))
+            counts.append((i, len(t), n_null))
+        h_all = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        meta = pa.table(
+            {
+                "col": pa.array([c for c, _, _ in counts], pa.int8()),
+                "n_rows": pa.array([r for _, r, _ in counts], pa.int64()),
+                "n_nulls": pa.array([x for _, _, x in counts], pa.int64()),
+                "h": pa.array(np.zeros(len(counts), np.uint64), pa.uint64()),
+                "kind": pa.array(np.zeros(len(counts), np.int8), pa.int8()),
+                "part": pa.array(np.zeros(len(counts), np.int32), pa.int32()),
+            }
+        )
+        vals = pa.table(
+            {
+                "col": pa.array(np.concatenate(cidx) if hs else [], pa.int8()),
+                "n_rows": pa.array(np.zeros(len(h_all), np.int64), pa.int64()),
+                "n_nulls": pa.array(np.zeros(len(h_all), np.int64), pa.int64()),
+                "h": pa.array(h_all, pa.uint64()),
+                "kind": pa.array(np.ones(len(h_all), np.int8), pa.int8()),
+                "part": pa.array(
+                    (h_all % np.uint64(num_parts)).astype(np.int32), pa.int32()
+                ),
+            }
+        )
+        return pa.concat_tables([meta, vals])
+
+    def _count(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        meta = (
+            df.filter(pl.col("kind") == 0)
+            .group_by("col")
+            .agg(pl.col("n_rows").sum(), pl.col("n_nulls").sum())
+        )
+        dist = (
+            df.filter(pl.col("kind") == 1)
+            .unique(["col", "h"])
+            .group_by("col")
+            .agg(pl.len().cast(pl.Int64).alias("n_distinct"))
+        )
+        return meta.join(dist, on="col", how="full", coalesce=True).to_arrow()
+
+    part_rows = [
+        p
+        for p in ray.get(
+            partitioned_map(
+                ds.select_columns(cols).map_batches(
+                    _partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["part"],
+                num_parts,
+                _count,
+            ).to_arrow_refs()
+        )
+        if len(p)
+    ]
+    merged = (
+        pl.from_arrow(pa.concat_tables(part_rows, promote_options="permissive"))
+        .group_by("col")
+        .agg(
+            pl.col("n_rows").sum(),
+            pl.col("n_nulls").sum(),
+            pl.col("n_distinct").sum(),
+        )
+        .sort("col")
+    )
+    name = pa.array([cols[int(i)] for i in merged["col"].to_numpy()], pa.string())
+    out = merged.to_arrow()
+    return pa.table(
+        {
+            "column": name,
+            "n_rows": out["n_rows"].cast(pa.int64()),
+            "n_nulls": out["n_nulls"].cast(pa.int64()),
+            "n_distinct": out["n_distinct"].cast(pa.int64()),
+        }
+    )

@@ -892,7 +892,13 @@ def fuzzy_dedup_documents_lsh(
 # held-out benchmark/eval set
 
 
-def decontaminate_ngrams(sf_dir: str, n: int = 8, bench_mod: int = 25):
+def decontaminate_ngrams(
+    sf_dir: str,
+    n: int = 8,
+    bench_mod: int = 25,
+    use_bloom: bool = False,
+    bloom_bits: int = 1 << 22,
+):
     """Per corpus doc: how many of its distinct word ``n``-grams appear in
     the benchmark set (docs with ``doc_id % bench_mod == 0`` stand in for
     an eval suite), plus a ``contaminated`` flag.
@@ -907,10 +913,20 @@ def decontaminate_ngrams(sf_dir: str, n: int = 8, bench_mod: int = 25):
     (``_shingle_hashes``), so Ray-side hash membership equals SQL string
     membership up to 64-bit collisions (~1e-9 at any realistic eval size).
 
+    ``use_bloom=True`` swaps the exact sorted-hash set for a Bloom filter
+    (``functions/bloom.py``) — the memory-bounded path when the blocklist
+    outgrows a comfortable broadcast (``bloom_bits/8`` bytes ship instead
+    of 8 bytes per distinct n-gram).  Bloom flags are a SUPERSET of the
+    exact flags (no false negatives; FPR = (1-e^{-kn/m})^k), so it is the
+    safe direction for decontamination: nothing contaminated slips
+    through, a bounded sliver of clean docs is over-flagged.
+
     Output: (doc_id, n_hits:int64, contaminated:bool) for every non-bench
     doc — docs shorter than ``n`` tokens have no n-grams and 0 hits.
     """
     import ray
+
+    from record_linkage_ldu_ray.functions.bloom import bloom_build, bloom_probe
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     mod = np.int64(bench_mod)
@@ -928,7 +944,7 @@ def decontaminate_ngrams(sf_dir: str, n: int = 8, bench_mod: int = 25):
         .to_arrow_refs()
     )
     bench = np.unique(np.concatenate([p["g"].to_numpy() for p in parts if len(p)]))
-    bench_ref = ray.put(bench)
+    bench_ref = ray.put(bloom_build(bench, m_bits=bloom_bits) if use_bloom else bench)
 
     def _probe(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy()
@@ -944,7 +960,9 @@ def decontaminate_ngrams(sf_dir: str, n: int = 8, bench_mod: int = 25):
             )
         bg = ray.get(bench_ref)
         flat, offs = _shingle_hashes(sub["text"], n)  # sorted-unique per doc
-        if len(bg) and len(flat):
+        if use_bloom:
+            hit = bloom_probe(bg, flat)
+        elif len(bg) and len(flat):
             pos = np.searchsorted(bg, flat)
             pos[pos == len(bg)] = 0
             hit = bg[pos] == flat

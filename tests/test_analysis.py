@@ -666,3 +666,25 @@ class TestJsonlReader:
         # extension dispatch
         got2 = read_table(str(p)).to_pandas()
         assert len(got2) == 20
+
+
+class TestProfileTable:
+    def test_nulls_and_distinct_exact(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.analysis import profile_table
+
+        t = pa.table(
+            {
+                "a": pa.array([1, 1, 2, None, None], pa.int64()),
+                "b": pa.array(["x", "y", "x", "z", None]),
+            }
+        )
+        got = (
+            profile_table(ray.data.from_arrow(t), ["a", "b"])
+            .to_pandas()
+            .set_index("column")
+        )
+        assert got.loc["a", "n_rows"] == 5
+        assert got.loc["a", "n_nulls"] == 2 and got.loc["a", "n_distinct"] == 2
+        assert got.loc["b", "n_nulls"] == 1 and got.loc["b", "n_distinct"] == 3

@@ -632,3 +632,44 @@ class TestRemoveBoilerplateTurns:
         assert (got["turn_idx"] == 1).all()  # every boilerplate turn dropped
         assert len(got) == 6  # each doc keeps its unique turn
         assert not got["text"].str.startswith("b0").any()
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_fpr(self):
+        from record_linkage_ldu_ray.functions.bloom import (
+            bloom_build,
+            bloom_merge,
+            bloom_probe,
+        )
+
+        rng = np.random.default_rng(29)
+        keys = rng.integers(0, 2**63, 4000, dtype=np.uint64)
+        other = np.setdiff1d(
+            rng.integers(0, 2**63, 60000, dtype=np.uint64), keys
+        )
+        f = bloom_build(keys, m_bits=1 << 17, k=4)
+        assert bloom_probe(f, keys, k=4).all(), "Bloom false negative"
+        fpr = bloom_probe(f, other, k=4).mean()
+        assert fpr < 0.005, fpr  # theoretical ≈ 0.0004 at n=4k, m=128k, k=4
+        # associative merge == single build
+        halves = bloom_merge(
+            bloom_build(keys[:2000], 1 << 17), bloom_build(keys[2000:], 1 << 17)
+        )
+        assert (halves == f).all()
+
+    def test_bloom_decontaminate_superset_of_exact(self, ray_session):
+        """Bloom-path decontamination must flag every doc the exact path
+        flags (no false negatives); over-flagging is bounded by the FPR."""
+        from record_linkage_ldu_ray.pipelines.docdedup import decontaminate_ngrams
+
+        sf = "/root/testdata/sf0.001"
+        exact = decontaminate_ngrams(sf).to_pandas().set_index("doc_id")
+        bloom = (
+            decontaminate_ngrams(sf, use_bloom=True).to_pandas().set_index("doc_id")
+        )
+        assert set(exact.index) == set(bloom.index)
+        flagged_exact = set(exact[exact.contaminated].index)
+        flagged_bloom = set(bloom[bloom.contaminated].index)
+        assert flagged_exact <= flagged_bloom
+        extra = len(flagged_bloom - flagged_exact)
+        assert extra <= max(2, int(0.01 * len(exact))), extra
