@@ -622,6 +622,18 @@ def _q_user_event_features(sf_dir: str):
     return user_event_features(sf_dir)
 
 
+def _q_brand_cooccurrence(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import brand_cooccurrence
+
+    return brand_cooccurrence(sf_dir)
+
+
+def _q_event_transitions(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import event_transitions
+
+    return event_transitions(sf_dir)
+
+
 def _q_profile_events(sf_dir: str):
     import ray.data
 
@@ -902,6 +914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_bulk_items": _q_orders_with_bulk_items,
         "json_props_stats": _q_json_props_stats,
         "profile_events": _q_profile_events,
+        "brand_cooccurrence": _q_brand_cooccurrence,
+        "event_transitions": _q_event_transitions,
         "vocab_coverage_scores": _q_vocab_coverage_scores,
         "remove_boilerplate_turns": _q_remove_boilerplate_turns,
         "clicks_last_purchase": _q_clicks_last_purchase,
@@ -1006,6 +1020,24 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct FROM events"
             for c in ["event_id", "user_id", "event_type", "value", "props", "ts"]
         ),
+        "brand_cooccurrence": """
+            WITH ob AS (SELECT DISTINCT l.l_orderkey, p.p_brand
+                        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM ob a JOIN ob b
+              ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+        """,
+        "event_transitions": """
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n_transitions
+            FROM (SELECT event_type,
+                         lag(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev_type
+                  FROM events)
+            WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        """,
         "json_props_stats": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))

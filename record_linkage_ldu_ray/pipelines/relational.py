@@ -1432,3 +1432,167 @@ def json_props_stats(sf_dir: str):
         .to_arrow()
     )
     return out.set_column(0, "event_type", out["event_type"].cast(pa.string()))
+
+
+def brand_cooccurrence(sf_dir: str, num_parts: int = 32):
+    """Market-basket co-occurrence: for every unordered brand pair, the
+    number of orders containing BOTH brands (the association-mining /
+    co-occurrence-matrix primitive).
+
+    Plan: the part→brand dimension broadcasts once (``ray.put``; parts are
+    a bounded catalog, the classic broadcast side), lineitem co-locates by
+    order key through ONE hash exchange, each partition reduces its orders
+    to distinct (order, brand) rows and enumerates within-order brand
+    pairs with the engine's vectorized triangle kernel — emitting only
+    per-partition PAIR COUNTS (≤ |brands|² tiny rows), which the driver
+    merges.  The raw basket stream is never re-shuffled.
+
+    Output: (brand_a, brand_b, n_orders:int64), brand_a < brand_b.
+    """
+    from record_linkage_ldu_ray.pipelines.docdedup import _triangle_pairs_sorted
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    part_tbl = pa.concat_tables(
+        ray.get(
+            ray.data.read_parquet(
+                f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+            ).to_arrow_refs()
+        )
+    )
+    pk = part_tbl["p_partkey"].to_numpy()
+    order = np.argsort(pk)
+    # dictionary sorted lexicographically so code order == string order:
+    # within-order pairs oriented by code are then brand_a < brand_b
+    brand_dict = pc.unique(part_tbl["p_brand"].combine_chunks()).sort()
+    brand_codes = pc.index_in(
+        part_tbl["p_brand"].combine_chunks(), value_set=brand_dict
+    ).to_numpy().astype(np.int32)
+    bcast = ray.put((pk[order], brand_codes[order]))
+    brands = np.asarray(brand_dict.to_pylist(), dtype=object)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def _tag(t: pa.Table) -> pa.Table:
+        keys, codes = ray.get(bcast)
+        idx = np.searchsorted(keys, t["l_partkey"].to_numpy())  # FK: always hits
+        out = pa.table(
+            {
+                "o": t["l_orderkey"].cast(pa.int64()),
+                "b": pa.array(codes[idx], pa.int32()),
+            }
+        )
+        h = fnv1a_hash_strings(out["o"].cast(pa.string()))
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    nb = len(brands)
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .unique(["o", "b"])
+            .sort(["o", "b"])
+        )
+        o = df["o"].to_numpy()
+        b = df["b"].to_numpy().astype(np.int64)
+        i, j = _triangle_pairs_sorted(o)
+        if len(i) == 0:
+            return pa.table(
+                {"code": pa.array([], pa.int64()), "n_orders": pa.array([], pa.int64())}
+            )
+        # brands sorted within order → b[i] < b[j]; pack pair into one code
+        code = b[i] * nb + b[j]
+        cnt = np.bincount(code, minlength=nb * nb).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {
+                "code": pa.array(nz, pa.int64()),
+                "n_orders": pa.array(cnt[nz], pa.int64()),
+            }
+        )
+
+    tagged = li.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [
+        p
+        for p in ray.get(
+            partitioned_map(tagged, ["part"], num_parts, _pairs).to_arrow_refs()
+        )
+        if len(p)
+    ]
+    merged = (
+        pl.from_arrow(pa.concat_tables(parts, promote_options="permissive"))
+        .group_by("code")
+        .agg(pl.col("n_orders").sum())
+    )
+    codes = merged["code"].to_numpy()
+    t = pa.table(
+        {
+            "brand_a": pa.array(brands[(codes // nb).astype(np.int64)], pa.string()),
+            "brand_b": pa.array(brands[(codes % nb).astype(np.int64)], pa.string()),
+            "n_orders": merged["n_orders"].to_arrow().cast(pa.int64()),
+        }
+    )
+    return t.sort_by([("brand_a", "ascending"), ("brand_b", "ascending")])
+
+
+def event_transitions(sf_dir: str, num_parts: int = 32):
+    """Global first-order event-type transition counts: for each
+    (prev_type → next_type) pair, how many consecutive event pairs (per
+    user, ordered by ts then event_id) make that transition — the Markov /
+    sequence-mining primitive over the event stream.
+
+    Users co-locate through one hash exchange; each partition sorts its
+    users once, takes a vectorized shift per user, and emits only the
+    ≤ |types|² local transition counts for a tiny driver merge.
+
+    Output: (prev_type, next_type, n_transitions:int64).
+    """
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "event_type", "ts"]
+    )
+
+    def _tag(t: pa.Table) -> pa.Table:
+        h = fnv1a_hash_strings(t["user_id"].cast(pa.string()))
+        return t.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _count(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                pl.col("event_type").shift(1).over("user_id").alias("prev_type")
+            )
+            .drop_nulls("prev_type")
+        )
+        return (
+            df.group_by(["prev_type", "event_type"])
+            .agg(pl.len().cast(pl.Int64).alias("n_transitions"))
+            .rename({"event_type": "next_type"})
+            .to_arrow()
+        )
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+    parts = [
+        p
+        for p in ray.get(
+            partitioned_map(tagged, ["part"], num_parts, _count).to_arrow_refs()
+        )
+        if len(p)
+    ]
+    out = (
+        pl.from_arrow(pa.concat_tables(parts, promote_options="permissive"))
+        .group_by(["prev_type", "next_type"])
+        .agg(pl.col("n_transitions").sum())
+        .sort(["prev_type", "next_type"])
+        .to_arrow()
+    )
+    return out.set_column(0, "prev_type", out["prev_type"].cast(pa.string())).set_column(
+        1, "next_type", out["next_type"].cast(pa.string())
+    )

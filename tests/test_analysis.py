@@ -688,3 +688,76 @@ class TestProfileTable:
         assert got.loc["a", "n_rows"] == 5
         assert got.loc["a", "n_nulls"] == 2 and got.loc["a", "n_distinct"] == 2
         assert got.loc["b", "n_nulls"] == 1 and got.loc["b", "n_distinct"] == 3
+
+
+class TestBrandCooccurrence:
+    def test_planted_baskets(self, ray_session, tmp_path):
+        """Pair counts are per ORDER (duplicate brand items in one order
+        count once) and oriented brand_a < brand_b."""
+        from record_linkage_ldu_ray.pipelines.relational import brand_cooccurrence
+
+        part = pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3], pa.int64()),
+                "p_name": pa.array(["pa", "pb", "pc"]),
+                "p_brand": pa.array(["B1", "B2", "B3"]),
+                "p_type": pa.array(["t"] * 3),
+                "p_size": pa.array([1, 1, 1], pa.int64()),
+                "p_retailprice": pa.array([1.0, 2.0, 3.0]),
+            }
+        )
+        # order 10: parts 1,1,2 → pair (B1,B2) once; order 20: 1,2,3 → 3 pairs
+        li = pa.table(
+            {
+                "l_orderkey": pa.array([10, 10, 10, 20, 20, 20], pa.int64()),
+                "l_partkey": pa.array([1, 1, 2, 1, 2, 3], pa.int64()),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(part, f"{d}/part.parquet")
+        pq.write_table(li, f"{d}/lineitem.parquet")
+
+        got = brand_cooccurrence(str(d)).to_pandas().set_index(["brand_a", "brand_b"])
+        assert got.loc[("B1", "B2"), "n_orders"] == 2
+        assert got.loc[("B1", "B3"), "n_orders"] == 1
+        assert got.loc[("B2", "B3"), "n_orders"] == 1
+        assert len(got) == 3
+
+
+class TestEventTransitions:
+    def test_matches_pandas_lag(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from record_linkage_ldu_ray.pipelines.relational import event_transitions
+
+        rng = np.random.default_rng(31)
+        n = 3000
+        df = pd.DataFrame(
+            {
+                "event_id": np.arange(n),
+                "ts": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 10**6, n), unit="us"),
+                "user_id": rng.integers(0, 40, n),
+                "event_type": rng.choice(["a", "b", "c"], n),
+                "value": np.zeros(n),
+                "props": ["{}"] * n,
+            }
+        )
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), f"{d}/events.parquet")
+
+        got = event_transitions(str(d)).to_pandas().set_index(["prev_type", "next_type"])
+        s = df.sort_values(["user_id", "ts", "event_id"])
+        s["prev"] = s.groupby("user_id")["event_type"].shift(1)
+        want = (
+            s.dropna(subset=["prev"])
+            .groupby(["prev", "event_type"])
+            .size()
+            .rename("n")
+        )
+        assert len(got) == len(want)
+        for (p, nx), cnt in want.items():
+            assert got.loc[(p, nx), "n_transitions"] == cnt
