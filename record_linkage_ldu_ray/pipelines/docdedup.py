@@ -990,12 +990,13 @@ def remove_boilerplate_turns(sf_dir: str, max_df: int = 2, num_parts: int = 32):
     line filter, at turn granularity): drop every turn whose text occurs in
     MORE than ``max_df`` distinct conversations.
 
-    Two passes, both bounded: (1) per-batch partials count distinct
-    conversations per 8-byte turn-text hash (a conversation never splits
-    across batches — the explode is per document — so partials sum
-    exactly), one hash exchange over (hash, count) rows, and only the
-    HEAVY hashes (df > max_df: the boilerplate set is the small tail of
-    the distribution) come back to the driver; (2) the corpus streams
+    Two passes, both bounded: (1) per-batch partials reduce to DISTINCT
+    (turn-text hash, conv-id hash) pairs — distinct-pair emission makes
+    the document frequency exact even if Ray re-slices a conversation's
+    turns across batches (each partition owns a text hash exclusively
+    after the exchange, so its distinct-conv count is exact) — and only
+    the HEAVY hashes (df > max_df: the boilerplate set is the small tail
+    of the distribution) come back to the driver; (2) the corpus streams
     through a broadcast searchsorted membership filter — the same
     probe shape as decontamination.  Raw text never shuffles.
 
@@ -1014,14 +1015,8 @@ def remove_boilerplate_turns(sf_dir: str, max_df: int = 2, num_parts: int = 32):
 
     def _partial(t: pa.Table) -> pa.Table:
         h = fnv1a_hash_strings(t["text"].combine_chunks())
-        df = pl.DataFrame(
-            {"h": h, "conv_id": pl.from_arrow(t["conv_id"].combine_chunks())}
-        )
-        out = (
-            df.group_by("h")
-            .agg(pl.col("conv_id").n_unique().cast(pl.Int64).alias("n_convs"))
-            .to_arrow()
-        )
+        c = fnv1a_hash_strings(t["conv_id"].combine_chunks())
+        out = pl.DataFrame({"h": h, "c": c}).unique(["h", "c"]).to_arrow()
         return out.append_column(
             "part",
             pa.array(
@@ -1033,8 +1028,9 @@ def remove_boilerplate_turns(sf_dir: str, max_df: int = 2, num_parts: int = 32):
     def _heavy(t: pa.Table) -> pa.Table:
         agg = (
             pl.from_arrow(t.drop_columns(["part"]))
+            .unique(["h", "c"])
             .group_by("h")
-            .agg(pl.col("n_convs").sum())
+            .agg(pl.len().cast(pl.Int64).alias("n_convs"))
             .filter(pl.col("n_convs") > max_df)
         )
         return pa.table({"h": agg["h"].to_arrow().cast(pa.uint64())})
