@@ -687,6 +687,12 @@ def _q_events_pivot(sf_dir: str):
     return events_pivot(sf_dir)
 
 
+def _q_token_freq_cms(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.textstats import token_freq_cms
+
+    return token_freq_cms(sf_dir)
+
+
 def _q_value_quantile_sketch(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.textstats import value_quantile_sketch
 
@@ -910,6 +916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": _q_orders_rollup,
         "events_pivot": _q_events_pivot,
         "value_quantile_sketch": _q_value_quantile_sketch,
+        "token_freq_cms": _q_token_freq_cms,
         "orders_no_bulk_items": _q_orders_no_bulk_items,
         "orders_with_bulk_items": _q_orders_with_bulk_items,
         "json_props_stats": _q_json_props_stats,

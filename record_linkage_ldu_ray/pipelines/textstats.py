@@ -1126,3 +1126,61 @@ def vocab_coverage_scores(
     return ds.select_columns([id_col, text_col]).map_batches(
         _cover, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def token_freq_cms(
+    sf_dir: str, k: int = 20, d: int = 4, w: int = 1 << 14
+):
+    """Heavy-hitter token frequencies cross-checked by a Count-Min sketch:
+    for the corpus's exact top-``k`` tokens, the exact occurrence count
+    next to the CMS estimate.
+
+    The CMS side shows the one-exchange-free aggregation path: each block
+    builds a LOCAL (d×w) sketch over its token-hash stream (vectorized
+    ``np.add.at``), the driver sums the ≤ blocks × d×w counters — sketch
+    merge is exact and associative, so the result is bit-identical at any
+    batching/partitioning, and estimate ≥ truth always (pytest-pinned
+    with the 2N/w bound).  The exact side reuses ``vocab_top_tokens``.
+
+    Output: (token, n_occurrences:int64, cms_estimate:int64).
+    """
+    import ray
+
+    from record_linkage_ldu_ray.functions.countmin import cms_build, cms_estimate
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        toks = (
+            pl.from_arrow(t["text"].combine_chunks()).str.extract_all(r"\S+").explode()
+        )
+        toks = toks.drop_nulls()
+        h = fnv1a_hash_strings(toks.to_arrow().cast(pa.string()))
+        m = cms_build(h, d=d, w=w)
+        return pa.table({"m": pa.array([m.ravel()], pa.list_(pa.int64()))})
+
+    parts = [
+        p
+        for p in ray.get(
+            ds.map_batches(_sketch, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        if len(p)
+    ]
+    m = np.zeros(d * w, np.int64)
+    for p in parts:
+        flat = p["m"].combine_chunks()
+        vals = flat.flatten().to_numpy().reshape(len(flat), d * w)
+        m += vals.sum(axis=0)
+    m = m.reshape(d, w)
+
+    top = vocab_top_tokens(ds, k=k)
+    th = fnv1a_hash_strings(top["token"])
+    est = cms_estimate(m, th)
+    return pa.table(
+        {
+            "token": top["token"].combine_chunks().cast(pa.string()),
+            "n_occurrences": top["n_occurrences"].combine_chunks().cast(pa.int64()),
+            "cms_estimate": pa.array(est, pa.int64()),
+        }
+    )

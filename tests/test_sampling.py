@@ -673,3 +673,39 @@ class TestBloomFilter:
         assert flagged_exact <= flagged_bloom
         extra = len(flagged_bloom - flagged_exact)
         assert extra <= max(2, int(0.01 * len(exact))), extra
+
+
+class TestCountMinSketch:
+    def test_one_sided_error_merge_and_bound(self):
+        from record_linkage_ldu_ray.functions.countmin import (
+            cms_build,
+            cms_estimate,
+            cms_merge,
+        )
+
+        rng = np.random.default_rng(37)
+        # zipf-ish stream over a vocabulary much larger than w forces
+        # collisions → exercises the overestimate bound
+        keys = rng.zipf(1.3, 200000).astype(np.uint64)
+        uh, true = np.unique(keys, return_counts=True)
+        m = cms_build(keys, d=4, w=1 << 10)
+        est = cms_estimate(m, uh)
+        assert (est >= true).all(), "CMS must never underestimate"
+        n = len(keys)
+        bound = 2 * n / (1 << 10)
+        frac_within = ((est - true) <= bound).mean()
+        assert frac_within > 0.9, frac_within  # expected ≥ 1-(1/2)^4 ≈ 0.94
+        halves = cms_merge(
+            cms_build(keys[:100000], d=4, w=1 << 10),
+            cms_build(keys[100000:], d=4, w=1 << 10),
+        )
+        assert (halves == m).all(), "merge must equal single-pass build"
+
+    def test_token_freq_cms_query(self, ray_session):
+        from record_linkage_ldu_ray.pipelines.textstats import token_freq_cms
+
+        r = token_freq_cms("/root/testdata/sf0.001").to_pandas()
+        assert len(r) == 20
+        assert (r["cms_estimate"] >= r["n_occurrences"]).all()
+        n_total = r["n_occurrences"].sum()  # lower bound on stream size N
+        assert ((r["cms_estimate"] - r["n_occurrences"]) <= 2 * 30000 / (1 << 14)).all()
