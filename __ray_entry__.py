@@ -258,6 +258,12 @@ def _q_source_length_quantiles(sf_dir: str):
     return source_length_quantiles(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_top_similar_pairs(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.docdedup import top_similar_pairs
+
+    return top_similar_pairs(sf_dir)
+
+
 def _q_decontaminate_ngrams(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.docdedup import decontaminate_ngrams
 
@@ -931,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
         "ngram_jaccard_dup_pairs": _q_ngram_jaccard_dup_pairs,
+        "top_similar_pairs": _q_top_similar_pairs,
         "fuzzy_dedup_documents": _q_fuzzy_dedup_documents,
         "fuzzy_dedup_documents_lsh": _q_fuzzy_dedup_documents_lsh,
         "minhash_lsh_dup_pairs": _q_minhash_lsh_dup_pairs,
@@ -1236,6 +1243,24 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(a.s) + len(b.s) > 0)
             SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
             FROM pairs WHERE j >= 0.05
+        """,
+        "top_similar_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id, source, {_WS_WORDS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(range(1, len(w)),
+                        i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS s
+              FROM toks),
+            pairs AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+              FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE len(a.s) + len(b.s) > 0)
+            SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
+            FROM pairs WHERE j >= 0.05
+            ORDER BY jaccard DESC, doc_id_a, doc_id_b LIMIT 50
         """,
         "fuzzy_dedup_documents": f"""
             WITH RECURSIVE toks AS (

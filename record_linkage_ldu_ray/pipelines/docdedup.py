@@ -1062,3 +1062,56 @@ def remove_boilerplate_turns(sf_dir: str, max_df: int = 2, num_parts: int = 32):
         return t.select(["conv_id", "turn_idx", "text"]).filter(pa.array(~drop))
 
     return turns.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_similar_pairs(sf_dir: str, k: int = 50, n: int = 2, tau: float = 0.05):
+    """Global top-``k`` most similar document pairs by EXACT word n-gram
+    Jaccard (the triage view a curation run starts from: what are the
+    worst near-duplicates in the corpus?).
+
+    Composition: the blocked exact-similarity operator
+    (``ngram_jaccard_dup_pairs``) already emits per-partition pair scores;
+    a per-block partial top-k plus a bounded driver merge (≤ blocks × k
+    rows) gives the global answer WITHOUT a global sort — the same O4
+    pattern as ``top_orders``.  Deterministic order: jaccard DESC, then
+    (id_a, id_b) ASC on ties of the rounded score.
+
+    Output: (doc_id_a, doc_id_b, jaccard:float64 rounded 6dp), k rows.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_dup_pairs(ds, n=n, tau=tau)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        ja = t["jaccard"].to_numpy()
+        a = t["doc_id_a"].to_numpy()
+        b = t["doc_id_b"].to_numpy()
+        order = np.lexsort((b, a, -ja))[: min(k, len(ja))]
+        return t.take(pa.array(order))
+
+    parts = [
+        p
+        for p in ray.get(
+            pairs.map_batches(
+                _partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if len(p)
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    m = pa.concat_tables(parts, promote_options="permissive")
+    ja = m["jaccard"].to_numpy()
+    a = m["doc_id_a"].to_numpy()
+    b = m["doc_id_b"].to_numpy()
+    order = np.lexsort((b, a, -ja))[:k]
+    return m.take(pa.array(order))

@@ -709,3 +709,14 @@ class TestCountMinSketch:
         assert (r["cms_estimate"] >= r["n_occurrences"]).all()
         n_total = r["n_occurrences"].sum()  # lower bound on stream size N
         assert ((r["cms_estimate"] - r["n_occurrences"]) <= 2 * 30000 / (1 << 14)).all()
+
+
+class TestTopSimilarPairs:
+    def test_k_rows_descending_deterministic(self, ray_session):
+        from record_linkage_ldu_ray.pipelines.docdedup import top_similar_pairs
+
+        r = top_similar_pairs("/root/testdata/sf0.001", k=25).to_pandas()
+        assert len(r) == 25
+        j = r["jaccard"].to_numpy()
+        assert (j[:-1] >= j[1:]).all(), "must be sorted by similarity DESC"
+        assert (r["doc_id_a"] < r["doc_id_b"]).all()
