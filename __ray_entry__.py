@@ -693,6 +693,14 @@ def _q_events_pivot(sf_dir: str):
     return events_pivot(sf_dir)
 
 
+def _q_chunk_documents(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import chunk_documents
+
+    return chunk_documents(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
 def _q_token_freq_cms(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.textstats import token_freq_cms
 
@@ -945,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         # text analysis
         "token_counts": _q_token_counts,
+        "chunk_documents": _q_chunk_documents,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "hash_split": _q_hash_split,
@@ -1297,6 +1306,16 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "chunk_documents": f"""
+            WITH toks AS (SELECT doc_id, {_WS_WORDS} AS w FROM documents),
+            st AS (SELECT doc_id, w,
+                          unnest(range(0, greatest(len(w), 1), 12)) AS s
+                   FROM toks)
+            SELECT doc_id, CAST(s // 12 AS INTEGER) AS chunk_idx,
+                   CAST(len(w[s + 1 : s + 16]) AS BIGINT) AS n_chunk_tokens,
+                   array_to_string(w[s + 1 : s + 16], ' ') AS chunk
+            FROM st WHERE s < len(w) OR s = 0
         """,
         "repetition_scores": f"""
             WITH toks AS (SELECT doc_id, {_WS_WORDS} AS w FROM documents),

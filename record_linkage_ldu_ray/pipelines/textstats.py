@@ -1184,3 +1184,76 @@ def token_freq_cms(
             "cms_estimate": pa.array(est, pa.int64()),
         }
     )
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    chunk_tokens: int = 16,
+    stride: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Split documents into overlapping token windows — the RAG/embedding
+    chunking step (chunk of ``chunk_tokens`` tokens every ``stride``
+    tokens; the final partial window is kept so no suffix is lost).
+
+    Pure per-batch explode (polars int_ranges + list.slice — no Python per
+    row, no shuffle): chunk boundaries depend only on the document itself,
+    so output is identical at any batching/partitioning and the operator
+    streams at input speed.  1→N fan-out inside ``map_batches`` is the
+    same shape as the video frame-sample stage.
+
+    Output: (doc_id, chunk_idx:int32, n_chunk_tokens:int64, chunk:string).
+    """
+
+    def _explode(t: pa.Table) -> pa.Table:
+        df = pl.DataFrame(
+            {
+                id_col: pl.from_arrow(t[id_col].combine_chunks()),
+                "w": pl.from_arrow(t[text_col].combine_chunks())
+                .str.strip_chars()
+                .str.replace_all(r"\s+", " ")
+                .str.split(" ")
+                .list.eval(pl.element().filter(pl.element() != "")),
+            }
+        )
+        out = (
+            df.with_columns(
+                pl.int_ranges(
+                    0, pl.max_horizontal(pl.col("w").list.len(), 1), stride
+                ).alias("_starts")
+            )
+            .explode("_starts")
+            # windows starting past the end exist only for len%stride edge:
+            # keep starts strictly inside the doc (or 0 for empty docs)
+            .filter(
+                (pl.col("_starts") < pl.col("w").list.len())
+                | (pl.col("_starts") == 0)
+            )
+            .with_columns(
+                pl.col("w")
+                .list.slice(pl.col("_starts"), chunk_tokens)
+                .alias("_chunk_toks"),
+                (pl.col("_starts") // stride).cast(pl.Int32).alias("chunk_idx"),
+            )
+            .with_columns(
+                pl.col("_chunk_toks").list.len().cast(pl.Int64).alias("n_chunk_tokens"),
+                pl.col("_chunk_toks").list.join(" ").alias("chunk"),
+            )
+            .select([id_col, "chunk_idx", "n_chunk_tokens", "chunk"])
+        )
+        a = out.to_arrow()
+        return a.cast(
+            pa.schema(
+                [
+                    (id_col, a.schema.field(id_col).type),
+                    ("chunk_idx", pa.int32()),
+                    ("n_chunk_tokens", pa.int64()),
+                    ("chunk", pa.string()),
+                ]
+            )
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _explode, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -720,3 +720,36 @@ class TestTopSimilarPairs:
         j = r["jaccard"].to_numpy()
         assert (j[:-1] >= j[1:]).all(), "must be sorted by similarity DESC"
         assert (r["doc_id_a"] < r["doc_id_b"]).all()
+
+
+class TestChunkDocuments:
+    def test_stride_overlap_and_edges(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import chunk_documents
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(f"t{i}" for i in range(30)),  # 30 toks → 3 chunks
+                        "short doc",  # 2 toks → 1 partial chunk
+                        "",  # empty → 1 empty chunk (start 0)
+                    ]
+                ),
+            }
+        )
+        got = (
+            chunk_documents(ray.data.from_arrow(t), chunk_tokens=16, stride=12)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True)
+        )
+        d0 = got[got.doc_id == 0]
+        assert list(d0["chunk_idx"]) == [0, 1, 2]
+        assert list(d0["n_chunk_tokens"]) == [16, 16, 6]  # 30-24=6 tail kept
+        # overlap: chunk 1 starts at token 12, so tokens 12..15 repeat
+        assert d0.iloc[0]["chunk"].split()[12:16] == d0.iloc[1]["chunk"].split()[0:4]
+        assert got[got.doc_id == 1]["n_chunk_tokens"].tolist() == [2]
+        assert got[got.doc_id == 2]["n_chunk_tokens"].tolist() == [0]
