@@ -731,6 +731,12 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(sf_dir)
 
 
+def _q_customer_running_totals(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import customer_running_totals
+
+    return customer_running_totals(sf_dir)
+
+
 def _q_global_rank(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import global_rank
 
@@ -922,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "revenue_by_nation": _q_revenue_by_nation,
         "global_rank": _q_global_rank,
+        "customer_running_totals": _q_customer_running_totals,
         "top_events_per_user": _q_top_events_per_user,
         "user_event_features": _q_user_event_features,
         "sessionize_events": _q_sessionize_events,
@@ -1153,6 +1160,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NTILE(10) OVER w AS INTEGER) AS decile
             FROM orders
             WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "customer_running_totals": """
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                        OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+                     AS running_cents
+            FROM orders
         """,
         "top_events_per_user": """
             SELECT user_id, event_id, value, rn FROM (

@@ -1596,3 +1596,53 @@ def event_transitions(sf_dir: str, num_parts: int = 32):
     return out.set_column(0, "prev_type", out["prev_type"].cast(pa.string())).set_column(
         1, "next_type", out["next_type"].cast(pa.string())
     )
+
+
+def customer_running_totals(sf_dir: str, num_parts: int = 32):
+    """Per-customer running order total (cumulative window aggregate):
+    each order row carries the sum of that customer's order values up to
+    and including it, ordered by (o_orderdate, o_orderkey).
+
+    Customers co-locate through one hash exchange; each partition does one
+    vectorized sort + grouped cumulative sum.  Completes the engine's
+    window-function family (rank/NTILE = ``global_rank``, lag =
+    ``event_transitions``, grouped head = ``top_events_per_user``).
+    Integer cents keep the running sum bit-exact against SQL at any merge
+    order.
+
+    Output: (o_custkey, o_orderkey, o_orderdate, running_cents:int64).
+    """
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def _tag(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "o_orderdate": t["o_orderdate"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+        h = fnv1a_hash_strings(out["o_custkey"].cast(pa.string()))
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _cum(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .sort(["o_custkey", "o_orderdate", "o_orderkey"])
+            .with_columns(
+                pl.col("cents").cum_sum().over("o_custkey").alias("running_cents")
+            )
+            .drop("cents")
+        )
+        return df.to_arrow()
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_map(tagged, ["part"], num_parts, _cum)

@@ -761,3 +761,39 @@ class TestEventTransitions:
         assert len(got) == len(want)
         for (p, nx), cnt in want.items():
             assert got.loc[(p, nx), "n_transitions"] == cnt
+
+
+class TestRunningTotals:
+    def test_matches_pandas_cumsum(self, ray_session, tmp_path):
+        import pandas as pd
+
+        from record_linkage_ldu_ray.pipelines.relational import customer_running_totals
+
+        rng = np.random.default_rng(41)
+        n = 2000
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.arange(n, dtype=np.int64),
+                "o_custkey": rng.integers(0, 50, n).astype(np.int64),
+                "o_orderstatus": ["O"] * n,
+                "o_totalprice": np.round(rng.uniform(1, 500, n), 2),
+                "o_orderdate": pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(rng.integers(0, 365, n), unit="D"),
+                "o_orderpriority": ["1-URGENT"] * n,
+            }
+        )
+        df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), f"{d}/orders.parquet")
+
+        got = (
+            customer_running_totals(str(d))
+            .to_pandas()
+            .sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+            .reset_index(drop=True)
+        )
+        s = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"]).reset_index(drop=True)
+        s["cents"] = (s["o_totalprice"] * 100).round().astype("int64")
+        want = s.groupby("o_custkey")["cents"].cumsum().to_numpy()
+        assert (got["running_cents"].to_numpy() == want).all()
