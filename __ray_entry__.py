@@ -640,6 +640,14 @@ def _q_event_transitions(sf_dir: str):
     return event_transitions(sf_dir)
 
 
+def _q_key_skew_report(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.analysis import key_skew_report
+
+    return key_skew_report(ray.data.read_parquet(f"{sf_dir}/events.parquet"), "user_id")
+
+
 def _q_profile_events(sf_dir: str):
     import ray.data
 
@@ -942,6 +950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_bulk_items": _q_orders_with_bulk_items,
         "json_props_stats": _q_json_props_stats,
         "profile_events": _q_profile_events,
+        "key_skew_report": _q_key_skew_report,
         "brand_cooccurrence": _q_brand_cooccurrence,
         "event_transitions": _q_event_transitions,
         "vocab_coverage_scores": _q_vocab_coverage_scores,
@@ -1043,6 +1052,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM lineitem l
                               WHERE l.l_orderkey = o.o_orderkey
                                 AND l.l_quantity > 49.5)
+        """,
+        "key_skew_report": """
+            SELECT CAST(user_id AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY user_id
+            ORDER BY n_rows DESC, key LIMIT 10
         """,
         "profile_events": " UNION ALL ".join(
             f"SELECT '{c}' AS \"column\", CAST(count(*) AS BIGINT) AS n_rows, "

@@ -325,3 +325,72 @@ def profile_table(ds: "ray.data.Dataset", columns: list[str], num_parts: int = 3
             "n_distinct": out["n_distinct"].cast(pa.int64()),
         }
     )
+
+
+def key_skew_report(
+    ds: "ray.data.Dataset", key_col: str, top: int = 10, num_parts: int = 32
+):
+    """Shuffle-key skew diagnostics: the ``top`` heaviest keys of a column
+    with their row counts — the planning pass behind the engine's hot-block
+    salting (``stages/blocking.py`` caps + salts blocks above
+    ``max_block_records``; this operator is how a user finds WHICH keys
+    need it before running a groupby/join keyed on them at 100 TB).
+
+    Combiner shape: per-block partial counts (one row per distinct key per
+    block), one 8-byte-hash exchange, per-partition exact local top-k
+    (each partition owns its keys), bounded driver merge — identical
+    three-level plan to ``vocab_top_tokens``.  Deterministic tie-break:
+    count DESC, key ASC.
+
+    Output: (key:string, n_rows:int64), ``top`` rows.
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t.select([key_col]))
+            .group_by(key_col)
+            .agg(pl.len().cast(pl.Int64).alias("n_rows"))
+            .to_arrow()
+        )
+        key_str = out[key_col].cast(pa.string())
+        out = pa.table({"key": key_str, "n_rows": out["n_rows"]})
+        h = fnv1a_hash_strings(out["key"].combine_chunks())
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _localtop(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema([("key", pa.string()), ("n_rows", pa.int64())]).empty_table()
+        agg = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .group_by("key")
+            .agg(pl.col("n_rows").sum())
+            .sort(["n_rows", "key"], descending=[True, False])
+            .head(top)
+        )
+        return agg.to_arrow().cast(
+            pa.schema([("key", pa.string()), ("n_rows", pa.int64())])
+        )
+
+    parts = [
+        p
+        for p in ray.get(
+            partitioned_map(
+                ds.select_columns([key_col]).map_batches(
+                    _partial, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                ["part"],
+                num_parts,
+                _localtop,
+            ).to_arrow_refs()
+        )
+        if len(p)
+    ]
+    if not parts:
+        return pa.schema([("key", pa.string()), ("n_rows", pa.int64())]).empty_table()
+    merged = pa.concat_tables(parts)
+    cnt = merged["n_rows"].to_numpy()
+    keys = np.asarray(merged["key"].to_pylist(), dtype=object)
+    order = np.lexsort((keys, -cnt))[:top]
+    return merged.take(pa.array(order))

@@ -797,3 +797,18 @@ class TestRunningTotals:
         s["cents"] = (s["o_totalprice"] * 100).round().astype("int64")
         want = s.groupby("o_custkey")["cents"].cumsum().to_numpy()
         assert (got["running_cents"].to_numpy() == want).all()
+
+
+class TestKeySkewReport:
+    def test_planted_hot_key(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.analysis import key_skew_report
+
+        keys = ["hot"] * 500 + [f"k{i}" for i in range(100)] * 3
+        t = pa.table({"k": pa.array(keys)})
+        got = key_skew_report(ray.data.from_arrow(t), "k", top=5).to_pandas()
+        assert got.iloc[0]["key"] == "hot" and got.iloc[0]["n_rows"] == 500
+        assert len(got) == 5
+        assert (got["n_rows"].to_numpy()[1:] == 3).all()
+        assert list(got["key"][1:]) == ["k0", "k1", "k10", "k11"]  # count-tie → key ASC
