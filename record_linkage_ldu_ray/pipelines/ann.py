@@ -18,6 +18,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from record_linkage_ldu_ray.functions.rounding import round6_scalar
+
 
 def _as_matrix(col: pa.ChunkedArray, n: int) -> np.ndarray:
     vals = col.combine_chunks()
@@ -92,7 +94,7 @@ def brute_force_topk(
         for rank, (negc, v) in enumerate(best, 1):
             out_q.append(int(query_ids[j]))
             out_v.append(int(v))
-            out_c.append(round(-negc, 6))
+            out_c.append(round6_scalar(-negc))
             out_r.append(rank)
     return pa.table(
         {
@@ -257,7 +259,7 @@ def ivf_topk(
             for rank, (negc, v) in enumerate(best, 1):
                 out_q.append(int(query_ids[j]))
                 out_v.append(int(v))
-                out_c.append(round(-negc, 6))
+                out_c.append(round6_scalar(-negc))
                 out_r.append(rank)
     return pa.table(
         {
@@ -360,7 +362,7 @@ def lsh_topk(
             for rank, (negc, v) in enumerate(best, 1):
                 out_q.append(int(query_ids[j]))
                 out_v.append(int(v))
-                out_c.append(round(-negc, 6))
+                out_c.append(round6_scalar(-negc))
                 out_r.append(rank)
     return pa.table(
         {

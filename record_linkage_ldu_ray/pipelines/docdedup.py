@@ -29,6 +29,7 @@ import ray.data
 
 from record_linkage_ldu_ray.config import BlockingConfig, MinHashConfig
 from record_linkage_ldu_ray.functions.hashing import fnv1a_hash_strings, splitmix64
+from record_linkage_ldu_ray.functions.rounding import round6
 from record_linkage_ldu_ray.functions.minhash import (
     lsh_band_hashes,
     minhash_segments,
@@ -312,7 +313,7 @@ def jaccard_dup_pairs(
             {
                 f"{id_col}_a": pa.array(ia, pa.int64()),
                 f"{id_col}_b": pa.array(ib, pa.int64()),
-                "jaccard": pa.array(np.round(ja[keep], 6), pa.float64()),
+                "jaccard": pa.array(round6(ja[keep]), pa.float64()),
             }
         )
 
@@ -369,7 +370,7 @@ def ngram_jaccard_dup_pairs(
             {
                 f"{id_col}_a": pa.array(ia, pa.int64()),
                 f"{id_col}_b": pa.array(ib, pa.int64()),
-                "jaccard": pa.array(np.round(ja[keep], 6), pa.float64()),
+                "jaccard": pa.array(round6(ja[keep]), pa.float64()),
             }
         )
 
@@ -724,7 +725,7 @@ def embedding_dup_pairs(
             lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
             out_a.append(lo)
             out_b.append(hi)
-            out_c.append(np.round(c[keep], 6))
+            out_c.append(round6(c[keep]))
         if not out_a:
             return pa.table(
                 {

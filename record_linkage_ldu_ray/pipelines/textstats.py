@@ -18,6 +18,7 @@ import pyarrow as pa
 import ray.data
 
 from record_linkage_ldu_ray.functions.hashing import fnv1a_hash_strings, splitmix64
+from record_linkage_ldu_ray.functions.rounding import round6
 
 # BPE-ish pre-tokenizer: word pieces or single non-space symbols (the common
 # GPT-2-style pre-split shape, public knowledge)
@@ -100,9 +101,9 @@ def quality_scores(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str
         nc = n_chars.to_numpy().astype(np.float64)
         safe_w = np.where(nw == 0, 1.0, nw)
         safe_c = np.where(nc == 0, 1.0, nc)
-        avg_wl = np.round(total_word_chars.to_numpy() / safe_w, 6)
-        punct_ratio = np.round(n_punct.to_numpy() / safe_c, 6)
-        stop_ratio = np.round(n_stop.to_numpy() / safe_w, 6)
+        avg_wl = round6(total_word_chars.to_numpy() / safe_w)
+        punct_ratio = round6(n_punct.to_numpy() / safe_c)
+        stop_ratio = round6(n_stop.to_numpy() / safe_w)
         return pa.table(
             {
                 id_col: t[id_col],
@@ -418,7 +419,7 @@ def tfidf_top_terms(
         tfidf = tfv * (np.log((1.0 + n_total) / (1.0 + dfv)) + 1.0)
         # rank by the raw double (as SQL's row_number does), output rounded
         scored = joined.with_columns(
-            pl.Series("_raw", tfidf), pl.Series("tfidf", np.round(tfidf, 6))
+            pl.Series("_raw", tfidf), pl.Series("tfidf", round6(tfidf))
         )
         top = (
             scored.sort([id_col, "_raw", "token"], descending=[False, True, False])
