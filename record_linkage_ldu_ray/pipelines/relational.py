@@ -741,13 +741,29 @@ def global_rank(sf_dir: str, num_buckets: int = 10):
             }
         )
 
-    summ = pa.concat_tables(
-        ray.get(
+    summ_parts = [
+        p
+        for p in ray.get(
             sorted_ds.map_batches(
                 _summary, batch_format="pyarrow", zero_copy_batch=True
             ).to_arrow_refs()
         )
+        # a 0-row input never runs the UDF: blocks keep the SOURCE schema
+        if "first_cents" in p.schema.names
+    ]
+    empty = pa.table(
+        {
+            "o_orderkey": pa.array([], pa.int64()),
+            "totalprice_cents": pa.array([], pa.int64()),
+            "rnk": pa.array([], pa.int64()),
+            "decile": pa.array([], pa.int32()),
+        }
     )
+    if not summ_parts:
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty)
+    summ = pa.concat_tables(summ_parts)
     first_cents = summ["first_cents"].to_numpy()
     first_key = summ["first_key"].to_numpy()
     ns = summ["n"].to_numpy()
@@ -762,15 +778,6 @@ def global_rank(sf_dir: str, num_buckets: int = 10):
         for i, b in enumerate(order)
     }
     bcast = ray.put((offset_by_block, total, int(num_buckets)))
-
-    empty = pa.table(
-        {
-            "o_orderkey": pa.array([], pa.int64()),
-            "totalprice_cents": pa.array([], pa.int64()),
-            "rnk": pa.array([], pa.int64()),
-            "decile": pa.array([], pa.int32()),
-        }
-    )
 
     def _rank(t: pa.Table) -> pa.Table:
         if len(t) == 0:
@@ -866,6 +873,11 @@ def hash_join(left, right, on: str, num_parts: int = 32):
 
     l_schema = left.schema()
     r_schema = right.schema()
+    # a mapped 0-row lineage reports schema None: the join is then empty
+    if l_schema is None:
+        return left
+    if r_schema is None:
+        return left.limit(0)
     l_names = list(l_schema.names)
     r_names = list(r_schema.names)
     overlap = (set(l_names) & set(r_names)) - {on}
@@ -999,6 +1011,10 @@ def revenue_by_nation(sf_dir: str, num_parts: int = 32):
         )
 
     parts = [p for p in ray.get(partials.to_arrow_refs()) if len(p)]
+    if not parts:
+        return pa.table(
+            {"n_name": pa.array([], pa.string()), "revenue_c4": pa.array([], pa.int64())}
+        )
     merged = pa.concat_tables(parts, promote_options="permissive")
     out = _merge(merged)
     return out.set_column(0, "n_name", out["n_name"].cast(pa.string()))
@@ -1113,6 +1129,15 @@ def orders_rollup(sf_dir: str):
         )
         if len(p)
     ]
+    if not parts:
+        return pa.table(
+            {
+                "o_orderstatus": pa.array([], pa.string()),
+                "o_orderpriority": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+                "sum_totalprice_cents": pa.array([], pa.int64()),
+            }
+        )
     fine = (
         pl.from_arrow(pa.concat_tables(parts, promote_options="permissive"))
         .group_by(["o_orderstatus", "o_orderpriority"])
@@ -1208,9 +1233,12 @@ def hash_anti_join(left, right, on: str, num_parts: int = 32):
     from record_linkage_ldu_ray.runtime import partitioned_map
 
     l_schema = left.schema()
+    if l_schema is None:  # 0-row mapped left: nothing can survive
+        return left
+    if right.schema() is None:  # empty right: NOT EXISTS keeps every left row
+        return left
     l_names = list(l_schema.names)
     types = dict(zip(l_names, l_schema.types))
-    key_t = types[on] if on in types else right.schema().field(on).type
 
     def _tag_left(t: pa.Table) -> pa.Table:
         h = fnv1a_hash_strings(t[on].cast(pa.string()))
@@ -1301,6 +1329,10 @@ def hash_semi_join(left, right, on: str, num_parts: int = 32):
     from record_linkage_ldu_ray.runtime import partitioned_map
 
     l_schema = left.schema()
+    if l_schema is None:  # 0-row mapped left: nothing to keep
+        return left
+    if right.schema() is None:  # empty right: EXISTS matches nothing
+        return left.limit(0)
     l_names = list(l_schema.names)
     types = dict(zip(l_names, l_schema.types))
 
@@ -1419,6 +1451,16 @@ def json_props_stats(sf_dir: str):
         )
         if len(p)
     ]
+    if not parts:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_events": pa.array([], pa.int64()),
+                "sum_k": pa.array([], pa.int64()),
+                "min_k": pa.array([], pa.int64()),
+                "max_k": pa.array([], pa.int64()),
+            }
+        )
     out = (
         pl.from_arrow(pa.concat_tables(parts, promote_options="permissive"))
         .group_by("event_type")
@@ -1522,6 +1564,14 @@ def brand_cooccurrence(sf_dir: str, num_parts: int = 32):
         )
         if len(p)
     ]
+    if not parts:
+        return pa.table(
+            {
+                "brand_a": pa.array([], pa.string()),
+                "brand_b": pa.array([], pa.string()),
+                "n_orders": pa.array([], pa.int64()),
+            }
+        )
     merged = (
         pl.from_arrow(pa.concat_tables(parts, promote_options="permissive"))
         .group_by("code")
@@ -1586,6 +1636,14 @@ def event_transitions(sf_dir: str, num_parts: int = 32):
         )
         if len(p)
     ]
+    if not parts:
+        return pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n_transitions": pa.array([], pa.int64()),
+            }
+        )
     out = (
         pl.from_arrow(pa.concat_tables(parts, promote_options="permissive"))
         .group_by(["prev_type", "next_type"])

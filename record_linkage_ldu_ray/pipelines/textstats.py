@@ -1035,6 +1035,14 @@ def value_quantile_sketch(
         )
         if len(p)
     ]
+    if not parts:
+        return pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "n_sample": pa.array([], pa.int64()),
+                **{f"q{int(q * 100)}_est": pa.array([], pa.float64()) for q in qs},
+            }
+        )
     merged = (
         pl.from_arrow(pa.concat_tables(parts, promote_options="permissive"))
         .sort("pri")

@@ -812,3 +812,86 @@ class TestKeySkewReport:
         assert len(got) == 5
         assert (got["n_rows"].to_numpy()[1:] == 3).all()
         assert list(got["key"][1:]) == ["k0", "k1", "k10", "k11"]  # count-tie → key ASC
+
+
+class TestEmptyInputs:
+    """Ray Data emits empty blocks; operators must survive 0-row tables
+    (ADVICE r1 flagged this class on the ANN path)."""
+
+    def _write_empty(self, tmp_path):
+        d = tmp_path / "sf"
+        d.mkdir()
+        orders = pa.schema(
+            [
+                ("o_orderkey", pa.int64()),
+                ("o_custkey", pa.int64()),
+                ("o_orderstatus", pa.string()),
+                ("o_totalprice", pa.float64()),
+                ("o_orderdate", pa.timestamp("us")),
+                ("o_orderpriority", pa.string()),
+            ]
+        )
+        events = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        lineitem = pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("l_partkey", pa.int64()),
+                ("l_quantity", pa.float64()),
+                ("l_extendedprice", pa.float64()),
+                ("l_discount", pa.float64()),
+            ]
+        )
+        pq.write_table(orders.empty_table(), f"{d}/orders.parquet")
+        pq.write_table(events.empty_table(), f"{d}/events.parquet")
+        pq.write_table(lineitem.empty_table(), f"{d}/lineitem.parquet")
+        return str(d)
+
+    def test_window_and_agg_ops_on_empty(self, ray_session, tmp_path):
+        from record_linkage_ldu_ray.pipelines.relational import (
+            customer_running_totals,
+            event_transitions,
+            events_pivot,
+            global_rank,
+            hopping_window_stats,
+            orders_rollup,
+            top_events_per_user,
+        )
+
+        d = self._write_empty(tmp_path)
+        for op in (
+            global_rank,
+            top_events_per_user,
+            hopping_window_stats,
+            events_pivot,
+            customer_running_totals,
+            event_transitions,
+        ):
+            out = op(d)
+            n = out.count() if hasattr(out, "count") else len(out)
+            assert n == 0, op.__name__
+        # rollup of an empty table still has the grand-total row shape
+        r = orders_rollup(d)
+        n = len(r) if not hasattr(r, "count") else r.count()
+        assert n <= 1
+
+    def test_joins_and_merges_on_empty(self, ray_session, tmp_path):
+        from record_linkage_ldu_ray.pipelines.relational import (
+            json_props_stats,
+            orders_no_bulk_items,
+            orders_with_bulk_items,
+        )
+
+        d = self._write_empty(tmp_path)
+        for op in (orders_no_bulk_items, orders_with_bulk_items):
+            out = op(d)
+            assert out.count() == 0, op.__name__
+        assert len(json_props_stats(d)) == 0
