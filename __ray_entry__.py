@@ -32,6 +32,32 @@ _STOP_SQL = _sql_list(ENGLISH_STOPWORDS)
 _WS_WORDS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
 
+def _curate_documents_sql() -> str:
+    from record_linkage_ldu_ray.pipelines.sampling import _hex_threshold
+
+    t1, t2 = _hex_threshold(0.8), _hex_threshold(0.9)
+    return f"""
+        WITH toks AS (SELECT doc_id, {_WS_WORDS} AS w FROM documents),
+        grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS g
+                  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM toks)),
+        bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 25 = 0),
+        bad AS (SELECT DISTINCT doc_id FROM grams
+                WHERE doc_id % 25 <> 0 AND g IN (SELECT g FROM bench)),
+        dedup AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        kept AS (SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens FROM toks t
+                 JOIN dedup USING (doc_id)
+                 WHERE len(t.w) >= 30 AND t.doc_id % 25 <> 0
+                   AND t.doc_id NOT IN (SELECT doc_id FROM bad))
+        SELECT doc_id, n_tokens,
+               CASE WHEN md5('split-v1' || CAST(doc_id AS VARCHAR)) < '{t1}'
+                      THEN 'train'
+                    WHEN md5('split-v1' || CAST(doc_id AS VARCHAR)) < '{t2}'
+                      THEN 'val'
+                    ELSE 'test' END AS split
+        FROM kept
+    """
+
+
 def _hash_split_sql() -> str:
     # thresholds from the SAME function the Ray operator uses
     from record_linkage_ldu_ray.pipelines.sampling import _hex_threshold
@@ -256,6 +282,12 @@ def _q_source_length_quantiles(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.textstats import source_length_quantiles
 
     return source_length_quantiles(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_curate_documents(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.docdedup import curate_documents
+
+    return curate_documents(sf_dir)
 
 
 def _q_top_similar_pairs(sf_dir: str):
@@ -963,6 +995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_dup_pairs": _q_ngram_jaccard_dup_pairs,
         "top_similar_pairs": _q_top_similar_pairs,
         "fuzzy_dedup_documents": _q_fuzzy_dedup_documents,
+        "curate_documents": _q_curate_documents,
         "fuzzy_dedup_documents_lsh": _q_fuzzy_dedup_documents_lsh,
         "minhash_lsh_dup_pairs": _q_minhash_lsh_dup_pairs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
@@ -1282,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
             FROM pairs WHERE j >= 0.05
         """,
+        "curate_documents": _curate_documents_sql(),
         "top_similar_pairs": f"""
             WITH toks AS (
               SELECT doc_id, source, {_WS_WORDS} AS w FROM documents),

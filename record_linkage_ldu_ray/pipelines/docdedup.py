@@ -1116,3 +1116,85 @@ def top_similar_pairs(sf_dir: str, k: int = 50, n: int = 2, tau: float = 0.05):
     b = m["doc_id_b"].to_numpy()
     order = np.lexsort((b, a, -ja))[:k]
     return m.take(pa.array(order))
+
+
+def curate_documents(
+    sf_dir: str,
+    min_tokens: int = 30,
+    bench_mod: int = 25,
+    n: int = 8,
+):
+    """End-to-end corpus curation: exact dedup → length filter →
+    benchmark decontamination → deterministic train/val/test split — the
+    composed pipeline a pre-training data run actually executes, built
+    from the engine's individual operators so every stage keeps its scale
+    shape (dedup = 8-byte-hash exchange; decontamination = broadcast
+    probe; filters/split = pure maps).
+
+    Benchmark docs (``doc_id % bench_mod == 0``) are excluded from the
+    corpus outright; survivors get MD5-interval splits (80/10/10).
+
+    Output: (doc_id, n_tokens:int64, split:string) — the kept corpus.
+    """
+    import ray
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    # stage 1: exact dedup (keep lowest doc_id per identical text)
+    kept = exact_dedup(ds)
+
+    # stage 2+3 flags come from one decontamination pass (it already
+    # excludes bench docs); collect the small contaminated id set once
+    dec = decontaminate_ngrams(sf_dir, n=n, bench_mod=bench_mod)
+    bad_parts = [
+        p
+        for p in ray.get(
+            dec.map_batches(
+                lambda t: t.filter(t["contaminated"]).select(["doc_id"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_arrow_refs()
+        )
+        if len(p) and "doc_id" in p.schema.names
+    ]
+    contaminated = (
+        np.sort(np.concatenate([p["doc_id"].to_numpy() for p in bad_parts]))
+        if bad_parts
+        else np.empty(0, np.int64)
+    )
+    bad_ref = ray.put(contaminated)
+    mod = np.int64(bench_mod)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        toks = _ws_token_lists(t["text"]).list.len().to_numpy().astype(np.int64)
+        ids = t["doc_id"].to_numpy()
+        bad = ray.get(bad_ref)
+        is_bad = np.zeros(len(ids), bool)
+        if len(bad):
+            pos = np.searchsorted(bad, ids)
+            pos[pos == len(bad)] = 0
+            is_bad = bad[pos] == ids
+        keep = (toks >= min_tokens) & (ids % mod != 0) & ~is_bad
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_tokens": pa.array(toks[keep], pa.int64()),
+            }
+        )
+
+    survivors = kept.map_batches(_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    # stage 4: the hash_split assignment applied inline so n_tokens rides
+    # along (same MD5 intervals as pipelines.sampling.hash_split)
+    def _with_split(t: pa.Table) -> pa.Table:
+        from record_linkage_ldu_ray.pipelines.sampling import _hex_threshold, _md5_hex
+
+        hexes = _md5_hex(t["doc_id"].combine_chunks(), "split-v1")
+        uppers = np.array(
+            [_hex_threshold(0.8), _hex_threshold(0.9), "g" * 32], dtype=object
+        )
+        labels = np.array(["train", "val", "test"], dtype=object)
+        idx = np.searchsorted(uppers, hexes, side="right")
+        return t.append_column("split", pa.array(labels[idx], pa.string()))
+
+    return survivors.map_batches(_with_split, batch_format="pyarrow", zero_copy_batch=True)

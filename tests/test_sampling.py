@@ -753,3 +753,41 @@ class TestChunkDocuments:
         assert d0.iloc[0]["chunk"].split()[12:16] == d0.iloc[1]["chunk"].split()[0:4]
         assert got[got.doc_id == 1]["n_chunk_tokens"].tolist() == [2]
         assert got[got.doc_id == 2]["n_chunk_tokens"].tolist() == [0]
+
+
+class TestCurateDocuments:
+    def test_stages_compose(self, ray_session, tmp_path):
+        """Duplicates collapse to the lowest id, short docs drop, bench
+        docs and contaminated docs drop, survivors get a split label."""
+        import pyarrow.parquet as pq
+
+        from record_linkage_ldu_ray.pipelines.docdedup import curate_documents
+
+        bench_text = " ".join(f"w{i}" for i in range(40))
+        long = " ".join(f"v{i}" for i in range(40))  # token-disjoint from bench
+        gram = " ".join(f"w{i}" for i in range(8))  # shared with bench doc 0
+        rows = {
+            0: bench_text,  # bench doc (0 % 25 == 0) → excluded
+            1: "dup " + long,  # survivor
+            2: "dup " + long,  # exact duplicate of 1 → dropped (higher id)
+            3: "too short",  # length filter
+            4: gram + " " + " ".join(f"z{i}" for i in range(40)),  # contaminated
+            5: " ".join(f"u{i}" for i in range(35)),  # clean survivor
+        }
+        t = pa.table(
+            {
+                "doc_id": pa.array(list(rows), pa.int64()),
+                "text": pa.array(list(rows.values())),
+                "lang": pa.array(["en"] * len(rows)),
+                "source": pa.array(["src0"] * len(rows)),
+                "n_chars": pa.array([len(v) for v in rows.values()], pa.int64()),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, f"{d}/documents.parquet")
+
+        got = curate_documents(str(d)).to_pandas().sort_values("doc_id")
+        assert list(got["doc_id"]) == [1, 5]
+        assert set(got["split"]) <= {"train", "val", "test"}
+        assert got.set_index("doc_id").loc[1, "n_tokens"] == 41
