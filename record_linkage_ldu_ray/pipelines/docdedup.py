@@ -1198,3 +1198,28 @@ def curate_documents(
         return t.append_column("split", pa.array(labels[idx], pa.string()))
 
     return survivors.map_batches(_with_split, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_curated_shards(sf_dir: str, outdir: str, **curate_kwargs):
+    """Materialize the curated corpus as split-partitioned Parquet
+    (``outdir/split=train/…`` etc.) — the resumable-output contract: one
+    directory per partition value, written as a streaming Ray sink (each
+    block flushes independently; a re-run can skip or overwrite finished
+    partitions rather than rewriting one giant file).
+
+    Returns the per-split row counts (tiny table) for the run manifest.
+    """
+    ds = curate_documents(sf_dir, **curate_kwargs)
+    ds.write_parquet(outdir, partition_cols=["split"])
+
+    import pyarrow.dataset as pads
+
+    d = pads.dataset(outdir, partitioning="hive")
+    t = d.to_table(columns=["split"])
+    return (
+        pl.from_arrow(t)
+        .group_by("split")
+        .agg(pl.len().cast(pl.Int64).alias("n_docs"))
+        .sort("split")
+        .to_arrow()
+    )

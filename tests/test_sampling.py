@@ -791,3 +791,41 @@ class TestCurateDocuments:
         assert list(got["doc_id"]) == [1, 5]
         assert set(got["split"]) <= {"train", "val", "test"}
         assert got.set_index("doc_id").loc[1, "n_tokens"] == 41
+
+
+class TestWriteCuratedShards:
+    def test_partitioned_layout_roundtrip(self, ray_session, tmp_path):
+        """The sink must produce one hive directory per split and the
+        re-read rows must equal the in-memory curation result."""
+        import os
+
+        import pyarrow.dataset as pads
+
+        from record_linkage_ldu_ray.pipelines.docdedup import (
+            curate_documents,
+            write_curated_shards,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = str(tmp_path / "shards")
+        counts = write_curated_shards(sf, out).to_pandas().set_index("split")
+
+        subdirs = sorted(p for p in os.listdir(out) if p.startswith("split="))
+        assert subdirs == ["split=test", "split=train", "split=val"]
+
+        want = curate_documents(sf).to_pandas()
+        assert counts["n_docs"].sum() == len(want)
+        for s in ("train", "val", "test"):
+            assert counts.loc[s, "n_docs"] == (want["split"] == s).sum()
+
+        back = (
+            pads.dataset(out, partitioning="hive")
+            .to_table()
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        w = want.sort_values("doc_id").reset_index(drop=True)
+        assert (back["doc_id"].to_numpy() == w["doc_id"].to_numpy()).all()
+        assert (back["n_tokens"].to_numpy() == w["n_tokens"].to_numpy()).all()
+        assert (back["split"].astype(str).to_numpy() == w["split"].to_numpy()).all()
