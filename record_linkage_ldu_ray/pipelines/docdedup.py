@@ -940,11 +940,16 @@ def decontaminate_ngrams(
         flat, _ = _shingle_hashes(sub["text"], n)
         return pa.table({"g": pa.array(np.unique(flat), pa.uint64())})
 
-    parts = ray.get(
-        ds.map_batches(_bench_grams, batch_format="pyarrow", zero_copy_batch=True)
-        .to_arrow_refs()
-    )
-    bench = np.unique(np.concatenate([p["g"].to_numpy() for p in parts if len(p)]))
+    parts = [
+        p["g"].to_numpy()
+        for p in ray.get(
+            ds.map_batches(
+                _bench_grams, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if len(p) and "g" in p.schema.names
+    ]
+    bench = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
     bench_ref = ray.put(bloom_build(bench, m_bits=bloom_bits) if use_bloom else bench)
 
     def _probe(t: pa.Table) -> pa.Table:

@@ -829,3 +829,35 @@ class TestWriteCuratedShards:
         assert (back["doc_id"].to_numpy() == w["doc_id"].to_numpy()).all()
         assert (back["n_tokens"].to_numpy() == w["n_tokens"].to_numpy()).all()
         assert (back["split"].astype(str).to_numpy() == w["split"].to_numpy()).all()
+
+
+class TestEmptyDocInputs:
+    def test_doc_ops_on_empty_corpus(self, ray_session, tmp_path):
+        """Every document operator must survive a 0-row documents table."""
+        import pyarrow.parquet as pq
+
+        from record_linkage_ldu_ray.pipelines.docdedup import (
+            curate_documents,
+            decontaminate_ngrams,
+            remove_boilerplate_turns,
+            top_similar_pairs,
+        )
+        from record_linkage_ldu_ray.pipelines.textstats import token_freq_cms
+
+        d = tmp_path / "sf"
+        d.mkdir()
+        sch = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("text", pa.string()),
+                ("lang", pa.string()),
+                ("source", pa.string()),
+                ("n_chars", pa.int64()),
+            ]
+        )
+        pq.write_table(sch.empty_table(), f"{d}/documents.parquet")
+        assert decontaminate_ngrams(str(d)).count() == 0
+        assert remove_boilerplate_turns(str(d)).count() == 0
+        assert len(top_similar_pairs(str(d))) == 0
+        assert curate_documents(str(d)).count() == 0
+        assert len(token_freq_cms(str(d))) == 0
