@@ -1204,7 +1204,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
                    ROW_NUMBER() OVER w AS rnk,
-                   CAST(NTILE(10) OVER w AS INTEGER) AS decile
+                   CAST(NTILE(10) OVER w AS INTEGER) AS decile,
+                   PERCENT_RANK() OVER w AS percent_rank,
+                   CUME_DIST() OVER w AS cume_dist
             FROM orders
             WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
         """,

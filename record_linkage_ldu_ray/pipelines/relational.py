@@ -757,6 +757,8 @@ def global_rank(sf_dir: str, num_buckets: int = 10):
             "totalprice_cents": pa.array([], pa.int64()),
             "rnk": pa.array([], pa.int64()),
             "decile": pa.array([], pa.int32()),
+            "percent_rank": pa.array([], pa.float64()),
+            "cume_dist": pa.array([], pa.float64()),
         }
     )
     if not summ_parts:
@@ -799,6 +801,12 @@ def global_rank(sf_dir: str, num_buckets: int = 10):
                 "totalprice_cents": pa.array(cents, pa.int64()),
                 "rnk": pa.array(rn0 + 1, pa.int64()),
                 "decile": pa.array((bucket + 1).astype(np.int32), pa.int32()),
+                # keys are unique → PERCENT_RANK/CUME_DIST close over rnk
+                "percent_rank": pa.array(
+                    rn0 / (n_total - 1) if n_total > 1 else np.zeros(len(t)),
+                    pa.float64(),
+                ),
+                "cume_dist": pa.array((rn0 + 1) / n_total, pa.float64()),
             }
         )
 

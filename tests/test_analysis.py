@@ -402,6 +402,9 @@ class TestGlobalRank:
         assert (got["rnk"].to_numpy() == np.arange(1, n + 1)).all()
         for c in ("o_orderkey", "totalprice_cents", "rnk", "decile"):
             assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+        # unique composite key → closed forms of the rank distributions
+        assert (got["percent_rank"].to_numpy() == (np.arange(n)) / (n - 1)).all()
+        assert (got["cume_dist"].to_numpy() == np.arange(1, n + 1) / n).all()
 
 
 class TestGroupedTopK:
