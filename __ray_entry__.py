@@ -771,6 +771,12 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(sf_dir)
 
 
+def _q_price_dense_rank(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import price_dense_rank
+
+    return price_dense_rank(sf_dir)
+
+
 def _q_customer_running_totals(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import customer_running_totals
 
@@ -969,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_nation": _q_revenue_by_nation,
         "global_rank": _q_global_rank,
         "customer_running_totals": _q_customer_running_totals,
+        "price_dense_rank": _q_price_dense_rank,
         "top_events_per_user": _q_top_events_per_user,
         "user_event_features": _q_user_event_features,
         "sessionize_events": _q_sessionize_events,
@@ -1209,6 +1216,12 @@ def oracle_sql() -> dict[str, str]:
                    CUME_DIST() OVER w AS cume_dist
             FROM orders
             WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "price_dense_rank": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents,
+                   DENSE_RANK() OVER (ORDER BY round(o_totalprice*100) DESC) AS drank
+            FROM orders
         """,
         "customer_running_totals": """
             SELECT o_custkey, o_orderkey, o_orderdate,

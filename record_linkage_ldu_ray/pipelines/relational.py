@@ -1712,3 +1712,61 @@ def customer_running_totals(sf_dir: str, num_parts: int = 32):
 
     tagged = ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
     return partitioned_map(tagged, ["part"], num_parts, _cum)
+
+
+def price_dense_rank(sf_dir: str):
+    """``DENSE_RANK()`` over order totalprice (DESC) — tied prices share a
+    rank and ranks are gapless.
+
+    The distributed shape: per-block DISTINCT key partials (tiny) → driver
+    union → the sorted distinct-key array broadcasts once via ``ray.put``
+    (prices are quantized, so the distinct set is bounded however many
+    rows exist) → one streaming map does a ``searchsorted`` rank lookup
+    per batch.  No sort of the data itself, no exchange at all.
+
+    Output: (o_orderkey, totalprice_cents, drank:int64).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c": pa.array(np.unique(_cents(t["o_totalprice"]).to_numpy()), pa.int64())}
+        )
+
+    parts = [
+        p["c"].to_numpy()
+        for p in ray.get(
+            ds.map_batches(
+                _distinct, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if len(p) and "c" in p.schema.names
+    ]
+    if not parts:
+        return pa.table(
+            {
+                "o_orderkey": pa.array([], pa.int64()),
+                "totalprice_cents": pa.array([], pa.int64()),
+                "drank": pa.array([], pa.int64()),
+            }
+        )
+    distinct = np.unique(np.concatenate(parts))  # ascending
+    dref = ray.put(distinct)
+    n_distinct = len(distinct)
+
+    def _lookup(t: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        cents = _cents(t["o_totalprice"]).to_numpy()
+        # DESC dense rank: highest price = 1
+        drank = n_distinct - np.searchsorted(d, cents)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "totalprice_cents": pa.array(cents, pa.int64()),
+                "drank": pa.array(drank.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_lookup, batch_format="pyarrow", zero_copy_batch=True)

@@ -898,3 +898,28 @@ class TestEmptyInputs:
             out = op(d)
             assert out.count() == 0, op.__name__
         assert len(json_props_stats(d)) == 0
+
+
+class TestDenseRank:
+    def test_ties_share_gapless_ranks(self, ray_session, tmp_path):
+        from record_linkage_ldu_ray.pipelines.relational import price_dense_rank
+
+        t = pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "o_custkey": pa.array([0] * 5, pa.int64()),
+                "o_orderstatus": pa.array(["O"] * 5),
+                "o_totalprice": pa.array([30.0, 10.0, 30.0, 20.0, 10.0]),
+                "o_orderdate": pa.array(
+                    np.full(5, np.datetime64("2024-01-01", "us"))
+                ),
+                "o_orderpriority": pa.array(["1-URGENT"] * 5),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, f"{d}/orders.parquet")
+        got = price_dense_rank(str(d)).to_pandas().set_index("o_orderkey")
+        assert got.loc[1, "drank"] == 1 and got.loc[3, "drank"] == 1
+        assert got.loc[4, "drank"] == 2
+        assert got.loc[2, "drank"] == 3 and got.loc[5, "drank"] == 3
