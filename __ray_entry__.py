@@ -771,6 +771,12 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(sf_dir)
 
 
+def _q_order_share_of_customer(sf_dir: str):
+    from record_linkage_ldu_ray.pipelines.relational import order_share_of_customer
+
+    return order_share_of_customer(sf_dir)
+
+
 def _q_price_dense_rank(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.relational import price_dense_rank
 
@@ -976,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank": _q_global_rank,
         "customer_running_totals": _q_customer_running_totals,
         "price_dense_rank": _q_price_dense_rank,
+        "order_share_of_customer": _q_order_share_of_customer,
         "top_events_per_user": _q_top_events_per_user,
         "user_event_features": _q_user_event_features,
         "sessionize_events": _q_sessionize_events,
@@ -1216,6 +1223,14 @@ def oracle_sql() -> dict[str, str]:
                    CUME_DIST() OVER w AS cume_dist
             FROM orders
             WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+        """,
+        "order_share_of_customer": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(round(o_totalprice*100) AS BIGINT) AS totalprice_cents,
+                   CAST(CAST(round(o_totalprice*100) AS BIGINT) AS DOUBLE)
+                     / CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+                            OVER (PARTITION BY o_custkey) AS DOUBLE) AS share
+            FROM orders
         """,
         "price_dense_rank": """
             SELECT o_orderkey,

@@ -1770,3 +1770,48 @@ def price_dense_rank(sf_dir: str):
         )
 
     return ds.map_batches(_lookup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def order_share_of_customer(sf_dir: str, num_parts: int = 32):
+    """Each order's share of its customer's lifetime order value — the
+    unordered full-partition window frame (``SUM() OVER (PARTITION BY)``),
+    complementing the ordered cumulative frame of
+    ``customer_running_totals``.
+
+    One exchange by customer; each partition computes group totals and the
+    per-row ratio vectorized.  The share is an exact float64 division of
+    two int64 cents values, so SQL reproduces it bit-for-bit.
+
+    Output: (o_custkey, o_orderkey, totalprice_cents:int64,
+    share:float64).
+    """
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def _tag(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "o_custkey": t["o_custkey"].cast(pa.int64()),
+                "o_orderkey": t["o_orderkey"].cast(pa.int64()),
+                "totalprice_cents": _cents(t["o_totalprice"]),
+            }
+        )
+        h = fnv1a_hash_strings(out["o_custkey"].cast(pa.string()))
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _share(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"])).with_columns(
+            (
+                pl.col("totalprice_cents").cast(pl.Float64)
+                / pl.col("totalprice_cents").sum().over("o_custkey").cast(pl.Float64)
+            ).alias("share")
+        )
+        return df.to_arrow()
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_map(tagged, ["part"], num_parts, _share)

@@ -923,3 +923,28 @@ class TestDenseRank:
         assert got.loc[1, "drank"] == 1 and got.loc[3, "drank"] == 1
         assert got.loc[4, "drank"] == 2
         assert got.loc[2, "drank"] == 3 and got.loc[5, "drank"] == 3
+
+
+class TestOrderShare:
+    def test_shares_sum_to_one_per_customer(self, ray_session, tmp_path):
+        from record_linkage_ldu_ray.pipelines.relational import order_share_of_customer
+
+        rng = np.random.default_rng(43)
+        n = 1000
+        t = pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n, dtype=np.int64)),
+                "o_custkey": pa.array(rng.integers(0, 40, n).astype(np.int64)),
+                "o_orderstatus": pa.array(["O"] * n),
+                "o_totalprice": pa.array(np.round(rng.uniform(1, 100, n), 2)),
+                "o_orderdate": pa.array(np.full(n, np.datetime64("2024-01-01", "us"))),
+                "o_orderpriority": pa.array(["1-URGENT"] * n),
+            }
+        )
+        d = tmp_path / "sf"
+        d.mkdir()
+        pq.write_table(t, f"{d}/orders.parquet")
+        got = order_share_of_customer(str(d)).to_pandas()
+        sums = got.groupby("o_custkey")["share"].sum()
+        assert np.allclose(sums.to_numpy(), 1.0)
+        assert (got["share"] > 0).all() and (got["share"] <= 1.0).all()
