@@ -971,10 +971,74 @@ def _q_link_increment(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
+    # entries of this dict. The flagship pipeline, SURVEY §2 kernel queries,
+    # and the highest-value training-data operators are deliberately placed
+    # inside that window; redundant relational/window variants (all
+    # oracle-green in CORRECTNESS_r02.json) sit past the cutoff.
     return {
-        # linkage-engine kernels / relational primitives
+        # -- flagship + cross-table linkage (SURVEY §3; D1-D4, J1-cross) --
+        "transcript_dedup": _q_transcript_dedup,
+        "bipartite_jaccard_links": _q_bipartite_jaccard_links,
+        "bipartite_linkage": _q_bipartite_linkage,
+        "link_increment": _q_link_increment,
+        # -- §2 per-record kernels (M9, M18, M19, M7/M8, M3-M5) --
         "normalize_text": _q_normalize_text,
+        "dedup_turns": _q_dedup_turns,
+        "merge_role_tool": _q_merge_role_tool,
+        "canonicalize_event_types": _q_canonicalize_event_types,
         "filter_click_events": _q_filter_click_events,
+        # -- per-conv aggregation (A1) + boilerplate / sessionize --
+        "user_event_features": _q_user_event_features,
+        "remove_boilerplate_turns": _q_remove_boilerplate_turns,
+        "sessionize_events": _q_sessionize_events,
+        "top_events_per_user": _q_top_events_per_user,
+        # -- dedup suite --
+        "exact_dedup": _q_exact_dedup,
+        "dedup_keep_best": _q_dedup_keep_best,
+        "jaccard_dup_pairs": _q_jaccard_dup_pairs,
+        "ngram_jaccard_dup_pairs": _q_ngram_jaccard_dup_pairs,
+        "top_similar_pairs": _q_top_similar_pairs,
+        "minhash_lsh_dup_pairs": _q_minhash_lsh_dup_pairs,
+        "simhash_dup_pairs": _q_simhash_dup_pairs,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "fuzzy_dedup_documents": _q_fuzzy_dedup_documents,
+        "fuzzy_dedup_documents_lsh": _q_fuzzy_dedup_documents_lsh,
+        # -- curation composition + decontamination --
+        "curate_documents": _q_curate_documents,
+        "decontaminate_ngrams": _q_decontaminate_ngrams,
+        "cross_source_overlap": _q_cross_source_overlap,
+        # -- similarity search --
+        "ann_topk": _q_ann_topk,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "embedding_dup_pairs_ivf": _q_embedding_dup_pairs_ivf,
+        # -- text analysis --
+        "token_counts": _q_token_counts,
+        "quality_scores": _q_quality_scores,
+        "repetition_scores": _q_repetition_scores,
+        "lang_id": _q_lang_id,
+        "content_fingerprints": _q_content_fingerprints,
+        "distinct_tokens_exact": _q_distinct_tokens_exact,
+        "vocab_top_tokens": _q_vocab_top_tokens,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "chunk_documents": _q_chunk_documents,
+        "pack_documents": _q_pack_documents,
+        "redact_pii": _q_redact_pii,
+        "filter_short_docs": _q_filter_short_docs,
+        # -- sampling / splits --
+        "hash_split": _q_hash_split,
+        "stratified_hash_sample": _q_stratified_hash_sample,
+        "source_length_quantiles": _q_source_length_quantiles,
+        # -- multimodal plumbing --
+        "payload_metadata": _q_payload_metadata,
+        "image_resize_stub": _q_image_resize_stub,
+        "audio_features_stub": _q_audio_features_stub,
+        "video_frame_sample_stub": _q_video_frame_sample_stub,
+        "image_features_stub": _q_image_features_stub,
+        # ======== driver 50-entry window boundary (entries above have
+        # priority for CORRECTNESS_rN.json rows) ========
+        # -- relational / window variants (driver-green in r02) --
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
         "top_orders": _q_top_orders,
@@ -983,15 +1047,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_running_totals": _q_customer_running_totals,
         "price_dense_rank": _q_price_dense_rank,
         "order_share_of_customer": _q_order_share_of_customer,
-        "top_events_per_user": _q_top_events_per_user,
-        "user_event_features": _q_user_event_features,
-        "sessionize_events": _q_sessionize_events,
         "tumbling_window_stats": _q_tumbling_window_stats,
         "hopping_window_stats": _q_hopping_window_stats,
         "orders_rollup": _q_orders_rollup,
         "events_pivot": _q_events_pivot,
-        "value_quantile_sketch": _q_value_quantile_sketch,
-        "token_freq_cms": _q_token_freq_cms,
         "orders_no_bulk_items": _q_orders_no_bulk_items,
         "orders_with_bulk_items": _q_orders_with_bulk_items,
         "json_props_stats": _q_json_props_stats,
@@ -1000,62 +1059,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_cooccurrence": _q_brand_cooccurrence,
         "event_transitions": _q_event_transitions,
         "vocab_coverage_scores": _q_vocab_coverage_scores,
-        "remove_boilerplate_turns": _q_remove_boilerplate_turns,
         "clicks_last_purchase": _q_clicks_last_purchase,
         "purchase_click_attribution": _q_purchase_click_attribution,
-        # dedup suite
-        "exact_dedup": _q_exact_dedup,
-        "jaccard_dup_pairs": _q_jaccard_dup_pairs,
-        "ngram_jaccard_dup_pairs": _q_ngram_jaccard_dup_pairs,
-        "top_similar_pairs": _q_top_similar_pairs,
-        "fuzzy_dedup_documents": _q_fuzzy_dedup_documents,
-        "curate_documents": _q_curate_documents,
-        "fuzzy_dedup_documents_lsh": _q_fuzzy_dedup_documents_lsh,
-        "minhash_lsh_dup_pairs": _q_minhash_lsh_dup_pairs,
-        "simhash_dup_pairs": _q_simhash_dup_pairs,
-        "embedding_dup_pairs": _q_embedding_dup_pairs,
-        # text analysis
-        "token_counts": _q_token_counts,
-        "chunk_documents": _q_chunk_documents,
-        "vocab_top_tokens": _q_vocab_top_tokens,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "hash_split": _q_hash_split,
+        # -- sketch / rows-only variants (quantitative pytest gates) --
         "hash_sample": _q_hash_sample,
-        "dedup_keep_best": _q_dedup_keep_best,
-        "source_length_quantiles": _q_source_length_quantiles,
-        "cross_source_overlap": _q_cross_source_overlap,
-        "decontaminate_ngrams": _q_decontaminate_ngrams,
-        "filter_short_docs": _q_filter_short_docs,
-        "redact_pii": _q_redact_pii,
-        "stratified_hash_sample": _q_stratified_hash_sample,
-        "pack_documents": _q_pack_documents,
-        "distinct_tokens_exact": _q_distinct_tokens_exact,
         "distinct_tokens_hll": _q_distinct_tokens_hll,
-        "quality_scores": _q_quality_scores,
-        "repetition_scores": _q_repetition_scores,
-        "lang_id": _q_lang_id,
-        "content_fingerprints": _q_content_fingerprints,
         "winnowing_fingerprints": _q_winnowing,
-        # similarity search
-        "ann_topk": _q_ann_topk,
-        "lsh_ann_topk": _q_lsh_ann_topk,
-        "ivf_ann_topk": _q_ivf_ann_topk,
-        "embedding_dup_pairs_ivf": _q_embedding_dup_pairs_ivf,
-        # per-record kernels (M18 merge, M7/M8 canonicalize, M19 turn dedup)
-        "dedup_turns": _q_dedup_turns,
-        "merge_role_tool": _q_merge_role_tool,
-        "canonicalize_event_types": _q_canonicalize_event_types,
-        # multimodal plumbing
-        "payload_metadata": _q_payload_metadata,
-        "image_features_stub": _q_image_features_stub,
-        "image_resize_stub": _q_image_resize_stub,
-        "audio_features_stub": _q_audio_features_stub,
-        "video_frame_sample_stub": _q_video_frame_sample_stub,
-        # flagship + cross-table linkage
-        "transcript_dedup": _q_transcript_dedup,
-        "bipartite_jaccard_links": _q_bipartite_jaccard_links,
-        "bipartite_linkage": _q_bipartite_linkage,
-        "link_increment": _q_link_increment,
+        "value_quantile_sketch": _q_value_quantile_sketch,
+        "token_freq_cms": _q_token_freq_cms,
     }
 
 
