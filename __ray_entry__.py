@@ -381,6 +381,7 @@ def _q_stratified_hash_sample(sf_dir: str):
     return stratified_hash_sample(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]),
         fractions,
+        hash_fn="md5",  # SQL-oracle parity mode; default is the vectorized fast hash
     )
 
 
@@ -402,6 +403,7 @@ def _q_hash_split(sf_dir: str):
     return hash_split(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]),
         {"train": 0.8, "val": 0.1, "test": 0.1},
+        hash_fn="md5",  # SQL-oracle parity mode; default is the vectorized fast hash
     )
 
 
@@ -413,6 +415,7 @@ def _q_hash_sample(sf_dir: str):
     return hash_sample(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]),
         0.25,
+        hash_fn="md5",  # SQL-oracle parity mode; default is the vectorized fast hash
     )
 
 

@@ -43,6 +43,103 @@ class TestHashSplit:
         assert (merged["split_x"] != merged["split_y"]).any()
 
 
+class TestHashModes:
+    """hash_fn="fast" (vectorized default) vs hash_fn="md5" (oracle parity)."""
+
+    def test_md5_mode_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.sampling import hash_sample
+
+        t = pa.table({"doc_id": list(range(1500))})
+        got = (
+            hash_sample(ray.data.from_arrow(t), 0.25, salt="sample-v1", hash_fn="md5")
+            .to_pandas()["doc_id"]
+            .sort_values()
+            .tolist()
+        )
+        thr = format(int(round(0.25 * (1 << 128))), "032x")
+        want = duckdb.sql(
+            f"SELECT doc_id FROM t WHERE md5('sample-v1' || CAST(doc_id AS VARCHAR))"
+            f" < '{thr}' ORDER BY doc_id"
+        ).fetchall()
+        assert got == [r[0] for r in want]
+
+    def test_fast_mode_partition_invariant_and_uniform(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.sampling import hash_split
+
+        ids = pa.table({"doc_id": list(range(4000))})
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = (
+            hash_split(ray.data.from_arrow(ids), fr, hash_fn="fast")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            hash_split(
+                ray.data.from_arrow(ids).random_shuffle(seed=5).repartition(9),
+                fr,
+                hash_fn="fast",
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert a.equals(b)
+        frac = a["split"].value_counts(normalize=True)
+        assert abs(frac["train"] - 0.8) < 0.03
+        assert abs(frac["val"] - 0.1) < 0.03
+        assert abs(frac["test"] - 0.1) < 0.03
+
+    def test_fast_mode_nested_and_string_ids(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.sampling import hash_sample
+
+        t = pa.table({"doc_id": [f"doc-{i}" for i in range(3000)]})
+        big = hash_sample(ray.data.from_arrow(t), 0.4, hash_fn="fast").to_pandas()
+        small = hash_sample(ray.data.from_arrow(t), 0.1, hash_fn="fast").to_pandas()
+        assert set(small["doc_id"]) <= set(big["doc_id"])
+        assert abs(len(big) / 3000 - 0.4) < 0.04
+        # int ids hash identically to their string form (str(id) semantics)
+        ti = pa.table({"doc_id": list(range(3000))})
+        ts = pa.table({"doc_id": [str(i) for i in range(3000)]})
+        a = hash_sample(ray.data.from_arrow(ti), 0.3, hash_fn="fast").to_pandas()
+        b = hash_sample(ray.data.from_arrow(ts), 0.3, hash_fn="fast").to_pandas()
+        assert set(a["doc_id"].astype(str)) == set(b["doc_id"])
+
+    def test_fast_mode_stratified_matches_global_when_single_group(self, ray_session):
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.sampling import (
+            hash_sample,
+            stratified_hash_sample,
+        )
+
+        t = pa.table({"doc_id": list(range(1000)), "source": ["s"] * 1000})
+        a = stratified_hash_sample(
+            ray.data.from_arrow(t), {"s": 0.2}, hash_fn="fast"
+        ).to_pandas()
+        b = hash_sample(ray.data.from_arrow(t), 0.2, hash_fn="fast").to_pandas()
+        assert set(a["doc_id"]) == set(b["doc_id"])
+
+    def test_bad_mode_rejected(self, ray_session):
+        import pytest
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.sampling import hash_sample, hash_split
+
+        t = pa.table({"doc_id": [1, 2]})
+        with pytest.raises(ValueError):
+            hash_split(ray.data.from_arrow(t), {"a": 1.0}, hash_fn="sha9000")
+        with pytest.raises(ValueError):
+            hash_sample(ray.data.from_arrow(t), 0.5, hash_fn="sha9000")
+
+
 class TestHashSample:
     def test_subset_and_fraction(self, ray_session):
         import ray.data
