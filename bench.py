@@ -160,6 +160,24 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def bench_all_queries(sf_dir: str) -> dict[str, float]:
+    """Time EVERY registered queries() entry once at ``sf_dir`` (the
+    regression tripwire: per-query seconds land in BENCH_r{N}.json so a
+    slowdown in any of the 77 operators is visible round-over-round).
+    A failing query records -1.0 rather than aborting the bench."""
+    import __ray_entry__ as e
+
+    out: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        try:
+            _consume(fn(sf_dir))
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            out[name] = -1.0
+    return out
+
+
 def _worker(sf_dir: str, num_cpus: int, flagship_only: bool) -> None:
     import ray
 
@@ -209,6 +227,12 @@ def _worker(sf_dir: str, num_cpus: int, flagship_only: bool) -> None:
                 "pairs_scored": stage["pairs_scored"],
                 "pairs_per_s": round(stage["pairs_per_s"], 1),
             }
+        elif os.environ.get("GRAFT_SKIP_ALL_QUERIES") != "1":
+            # per-query regression sweep at sf0.01 (every registered query;
+            # cheap fixed scale so the sweep times the code, not the data)
+            aq_dir = os.environ.get("GRAFT_ALLQ_DIR", "/root/testdata/sf0.01")
+            out["all_queries_sf"] = _sf_of(aq_dir)
+            out["all_queries"] = bench_all_queries(aq_dir)
         print(json.dumps(out), file=_REAL_STDOUT)
         _REAL_STDOUT.flush()
     finally:

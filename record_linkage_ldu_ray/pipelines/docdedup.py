@@ -39,6 +39,35 @@ from record_linkage_ldu_ray.functions.minhash import (
 _NUM_PARTS = 64  # hash-partition fan-out for group stages
 
 
+def _oversized_block_keep_mask(
+    df: "pl.DataFrame", block_col: str, cap: int, op: str
+) -> np.ndarray | None:
+    """Row keep-mask dropping every block with more than ``cap`` records,
+    or None when nothing exceeds the cap.  Logs the drop counters
+    (blocks dropped, records dropped, sample keys).
+
+    An exact-key block past the cap is non-discriminative: its O(n²) pair
+    cost belongs to the MinHash/LSH path, not the exact enumerator.  The
+    counters make the recall loss auditable (SURVEY §4 "cap + log dropped
+    pairs as counters")."""
+    sizes = df.select(pl.len().over(block_col).alias("n"))["n"].to_numpy()
+    drop = sizes > cap
+    if not drop.any():
+        return None
+    dropped_keys = df.filter(pl.Series(drop))[block_col].unique().to_list()
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s: dropped %d oversized block(s) (> %d records, %d records total): %s",
+        op,
+        len(dropped_keys),
+        cap,
+        int(drop.sum()),
+        sorted(dropped_keys)[:10],
+    )
+    return ~drop
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 
@@ -228,6 +257,7 @@ def jaccard_dup_pairs(
     tau: float = 0.5,
     side_col: str | None = None,
     max_block_records: int | None = None,
+    num_parts: int | None = None,
 ):
     """All pairs within a block whose unique-token-set Jaccard ≥ tau.
 
@@ -245,6 +275,9 @@ def jaccard_dup_pairs(
     pair cost belongs to the MinHash/LSH path instead.  None (default)
     disables the cap, keeping exact SQL-oracle parity.
 
+    ``num_parts``: hash-partition fan-out for the block exchange; None
+    derives it from the cluster (``runtime.default_num_parts``).
+
     Output: (id_a, id_b, jaccard) with id_a < id_b (or side_a < side_b in
     bipartite mode), jaccard float64 rounded to 6dp.
     """
@@ -256,24 +289,11 @@ def jaccard_dup_pairs(
         toks = _ws_token_lists(t[text_col])
         df = df.with_columns(toks.list.unique().list.sort().alias("_toks"))
         if max_block_records is not None and len(df):
-            big = (
-                df.group_by(block_col)
-                .len()
-                .filter(pl.col("len") > max_block_records)
+            keep_rows = _oversized_block_keep_mask(
+                df, block_col, max_block_records, "jaccard_dup_pairs"
             )
-            if len(big):
-                import logging
-
-                logging.getLogger(__name__).warning(
-                    "jaccard_dup_pairs: skipping %d oversized block(s) "
-                    "(> %d records): %s",
-                    len(big),
-                    max_block_records,
-                    big[block_col].to_list()[:10],
-                )
-                df = df.filter(
-                    ~pl.col(block_col).is_in(big[block_col].implode())
-                )
+            if keep_rows is not None:
+                df = df.filter(pl.Series(keep_rows))
         pairs = _pairs_within_groups(df, block_col, id_col)
         empty = pa.table(
             {
@@ -317,12 +337,13 @@ def jaccard_dup_pairs(
             }
         )
 
-    from record_linkage_ldu_ray.runtime import partitioned_map
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
 
+    n_parts = num_parts if num_parts is not None else default_num_parts()
     withpart = ds.map_batches(
-        _add_hash_part(block_col, 16), batch_format="pyarrow", zero_copy_batch=True
+        _add_hash_part(block_col, n_parts), batch_format="pyarrow", zero_copy_batch=True
     )
-    return partitioned_map(withpart, ["part"], 16, _score)
+    return partitioned_map(withpart, ["part"], n_parts, _score)
 
 
 def ngram_jaccard_dup_pairs(
@@ -332,6 +353,8 @@ def ngram_jaccard_dup_pairs(
     text_col: str = "text",
     n: int = 3,
     tau: float = 0.3,
+    num_parts: int | None = None,
+    max_block_records: int | None = None,
 ):
     """All pairs within a block whose word ``n``-gram shingle-set Jaccard
     ≥ tau — the EXACT similarity the MinHash+LSH path approximates
@@ -342,6 +365,12 @@ def ngram_jaccard_dup_pairs(
     block, vectorized triangle enumeration, one lexsort-merge per
     partition); docs with fewer than ``n`` tokens have no shingles and
     never pair (denominator-0 guard matches the SQL oracle).
+
+    ``max_block_records``: blocks larger than this are DROPPED with logged
+    counters (blocks + records) — their quadratic pair cost belongs to the
+    LSH path.  None (default) disables the cap for exact SQL-oracle parity;
+    compositions meant for scale (``fuzzy_dedup_documents``) pass a finite
+    cap.
 
     Output: (id_a, id_b, jaccard:float64 rounded 6dp), id_a < id_b.
     """
@@ -356,6 +385,15 @@ def ngram_jaccard_dup_pairs(
                 "jaccard": pa.array([], pa.float64()),
             }
         )
+        if max_block_records is not None and len(df):
+            keep_rows = _oversized_block_keep_mask(
+                df, block_col, max_block_records, "ngram_jaccard_dup_pairs"
+            )
+            if keep_rows is not None:
+                # the shingle offsets below are positional in t — filter the
+                # Arrow table and the frame together to keep them aligned
+                t = t.filter(pa.array(keep_rows))
+                df = df.filter(pl.Series(keep_rows))
         pairs = _pairs_within_groups(df, block_col, id_col)
         if len(pairs) == 0:
             return empty
@@ -374,12 +412,13 @@ def ngram_jaccard_dup_pairs(
             }
         )
 
-    from record_linkage_ldu_ray.runtime import partitioned_map
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
 
+    n_parts = num_parts if num_parts is not None else default_num_parts()
     withpart = ds.map_batches(
-        _add_hash_part(block_col, 16), batch_format="pyarrow", zero_copy_batch=True
+        _add_hash_part(block_col, n_parts), batch_format="pyarrow", zero_copy_batch=True
     )
-    return partitioned_map(withpart, ["part"], 16, _score)
+    return partitioned_map(withpart, ["part"], n_parts, _score)
 
 
 # ---------------------------------------------------------------------------
@@ -688,6 +727,7 @@ def embedding_dup_pairs(
     block_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_parts: int | None = None,
 ):
     """Pairs with cosine similarity ≥ tau, blocked by ``block_col`` (the
     IVF-style bucket: at scale the block is a coarse-quantizer cell).
@@ -742,12 +782,13 @@ def embedding_dup_pairs(
             }
         )
 
-    from record_linkage_ldu_ray.runtime import partitioned_map
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
 
+    n_parts = num_parts if num_parts is not None else default_num_parts()
     withpart = ds.select_columns([id_col, block_col, vec_col]).map_batches(
-        _add_hash_part(block_col, 16), batch_format="pyarrow", zero_copy_batch=True
+        _add_hash_part(block_col, n_parts), batch_format="pyarrow", zero_copy_batch=True
     )
-    return partitioned_map(withpart, ["part"], 16, _score)
+    return partitioned_map(withpart, ["part"], n_parts, _score)
 
 
 # ---------------------------------------------------------------------------
@@ -815,13 +856,29 @@ def fuzzy_dedup_documents(
     text_col: str = "text",
     n: int = 2,
     tau: float = 0.05,
+    max_block_records: int = 10_000,
+    num_parts: int | None = None,
 ):
     """Flagship document-dedup composition over the exact n-gram Jaccard
     pair operator (SQL-oracle-checkable end to end; swap the pair stage for
     ``minhash_lsh_dup_pairs`` to get the approximate 100 TB path with the
-    identical resolve step)."""
+    identical resolve step).
+
+    Unlike the bare pair operator, this end-to-end composition defaults to
+    a FINITE ``max_block_records`` (10k records → ≤ 5·10⁷ pairs per block):
+    a blocking key shared by more records than that is non-discriminative
+    and its quadratic cost belongs to :func:`fuzzy_dedup_documents_lsh`.
+    Dropped blocks are logged with counters; the SQL oracle stays exact at
+    fixture scale because no fixture block approaches the cap."""
     pairs = ngram_jaccard_dup_pairs(
-        ds, block_col=block_col, id_col=id_col, text_col=text_col, n=n, tau=tau
+        ds,
+        block_col=block_col,
+        id_col=id_col,
+        text_col=text_col,
+        n=n,
+        tau=tau,
+        num_parts=num_parts,
+        max_block_records=max_block_records,
     )
     return dedup_by_pairs(ds, pairs, id_col=id_col)
 

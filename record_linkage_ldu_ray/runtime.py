@@ -67,6 +67,17 @@ def _cluster_cpus() -> int:
         return 8
 
 
+def default_num_parts(floor: int = 16) -> int:
+    """Cluster-derived hash-partition fan-out for partition-level stages:
+    ~2 partitions per available CPU, never below ``floor``.
+
+    Pipelines that accept ``num_parts=None`` resolve it through this at
+    build time, so the same code paths fan out to hundreds of partitions
+    on a real cluster instead of a fixed single-node count (the clamp in
+    :func:`effective_partitions` still bounds tiny test sessions)."""
+    return max(floor, _cluster_cpus() * 2)
+
+
 def effective_partitions(requested: int) -> int:
     """Clamp a configured partition count to ~4 tasks per available CPU.
 

@@ -116,12 +116,14 @@ def hot_key_table(
     (recall falls back to the LSH bands).  Both small by construction."""
     import pyarrow.compute as pc
 
+    from record_linkage_ldu_ray.runtime import default_num_parts
+
     counts = features_ds.map_batches(
         _emit_key_counts,
         batch_format="pyarrow",
         zero_copy_batch=True,
         fn_kwargs={"cfg": cfg},
-    ).groupby("block_key", num_partitions=16).sum("n")
+    ).groupby("block_key", num_partitions=default_num_parts()).sum("n")
     cap = cfg.blocking.max_block_records
     hot_ds = counts.map_batches(
         lambda t: t.filter(pc.greater(t["sum(n)"], cap)), batch_format="pyarrow"
