@@ -18,12 +18,15 @@ import numpy as np
 
 def ratcliff_obershelp(s1: str, s2: str) -> float:
     """Ratcliff/Obershelp similarity — same algorithm difflib implements
-    (the reference uses textdistance's, compare_ldu_hw.py:69)."""
+    (the reference uses textdistance's, compare_ldu_hw.py:69).
+    ``autojunk=False`` because textdistance has no junk heuristic, so this
+    stays bit-equal to the reference (and to the batched kernel) at every
+    string length, not only below difflib's 200-char autojunk cutoff."""
     if not s1 and not s2:
         return 1.0
     if not s1 or not s2:
         return 0.0
-    return SequenceMatcher(None, s1, s2).ratio()
+    return SequenceMatcher(None, s1, s2, autojunk=False).ratio()
 
 
 def levenshtein_normalized(s1: str, s2: str) -> float:
@@ -198,6 +201,104 @@ def jaro_winkler_batch_arrow(
     A, la = pad_codes_arrow(arr_a, L)
     B, lb = pad_codes_arrow(arr_b, L)
     return _jw_core(A, la, B, lb, prefix_weight, max_prefix)
+
+
+def ratcliff_obershelp_batch_arrow(arr_a, arr_b, max_len: int = 64) -> np.ndarray:
+    """Vectorized Ratcliff/Obershelp over n Arrow string pairs — the batch
+    form of :func:`ratcliff_obershelp` (bit-equal per pair; hypothesis-
+    tested), so the reference's long-field default algorithm
+    (compare_ldu_hw.py:69) no longer falls off the vectorized path when
+    selected in ``ScoringConfig.string_kernels``.
+
+    Scheme (same style as the JW batching): pad both sides into (n, L)
+    uint32 code-point matrices from the Arrow buffers, then replicate
+    difflib's matching-block recursion as WAVES of subproblems.  Every
+    wave runs one vectorized longest-common-substring DP over ALL active
+    (pair, a-window, b-window) subproblems at once: for each row i the
+    diagonal run lengths update as ``M[j] = E[j] * (M_prev[j-1] + 1)``
+    across the whole subproblem batch, and the difflib tie-break (first
+    strictly-longer block in ascending (i, j) scan) falls out of taking
+    the first row that beats the best plus ``argmax``'s first-max rule.
+    Matched blocks split their window into left/right children for the
+    next wave; waves end when no subproblem remains.  No per-pair Python
+    anywhere.
+    """
+    n = len(arr_a)
+    out = np.zeros(n, dtype=np.float32)
+    if n == 0:
+        return out
+    L = max_len
+    A, la = pad_codes_arrow(arr_a, L)
+    B, lb = pad_codes_arrow(arr_b, L)
+    total = la + lb
+    out[total == 0] = 1.0  # both empty → 1.0 (scalar-kernel convention)
+
+    matched = np.zeros(n, dtype=np.int64)
+    live = (la > 0) & (lb > 0)
+    pid = np.nonzero(live)[0]
+    alo = np.zeros(len(pid), np.int64)
+    ahi = la[pid].copy()
+    blo = np.zeros(len(pid), np.int64)
+    bhi = lb[pid].copy()
+
+    while len(pid):
+        S = len(pid)
+        # compact every subproblem's (a-window × b-window) into left-aligned
+        # matrices of this wave's max window size — windows shrink fast as
+        # the recursion splits, so late waves cost (max window)², not L²
+        ha, wb = ahi - alo, bhi - blo
+        H, W = int(ha.max()), int(wb.max())
+        ar = np.arange(H, dtype=np.int64)[None, :]
+        br = np.arange(W, dtype=np.int64)[None, :]
+        rows_idx = np.minimum(alo[:, None] + ar, L - 1)
+        cols_idx = np.minimum(blo[:, None] + br, L - 1)
+        Asub = np.take_along_axis(A[pid], rows_idx, axis=1)
+        Bsub = np.take_along_axis(B[pid], cols_idx, axis=1)
+        # out-of-window cells get two DISTINCT sentinels above any real code
+        # point, so the equality test alone encodes the window masks (saves
+        # two boolean passes per DP row)
+        Asub[ar >= ha[:, None]] = np.uint32(0xFFFFFFFF)
+        Bsub[br >= wb[:, None]] = np.uint32(0xFFFFFFFE)
+        m_prev = np.zeros((S, W), np.int32)
+        m_cur = np.zeros((S, W), np.int32)
+        best_k = np.zeros(S, np.int32)
+        best_i = np.zeros(S, np.int64)
+        best_j = np.zeros(S, np.int64)
+        for i in range(H):
+            eq = Asub[:, i][:, None] == Bsub
+            np.add(m_prev[:, :-1], 1, out=m_cur[:, 1:])
+            m_cur[~eq] = 0
+            m_cur[:, 0] = eq[:, 0]
+            j_end = np.argmax(m_cur, axis=1)  # first max = difflib tie-break
+            row_max = np.take_along_axis(m_cur, j_end[:, None], axis=1)[:, 0]
+            upd = row_max > best_k
+            if upd.any():
+                best_k = np.where(upd, row_max, best_k)
+                best_i = np.where(upd, i, best_i)
+                best_j = np.where(upd, j_end, best_j)
+            m_prev, m_cur = m_cur, m_prev
+        hit = best_k > 0
+        np.add.at(matched, pid[hit], best_k[hit].astype(np.int64))
+        # back to absolute coordinates, then split into children:
+        # [alo, block_start) × [blo, block_start_j) and
+        # (block_end, ahi) × (block_end_j, bhi)
+        best_i = best_i + alo
+        best_j = best_j + blo
+        k = best_k.astype(np.int64)
+        ia0, jb0 = best_i - k + 1, best_j - k + 1
+        left = hit & (ia0 > alo) & (jb0 > blo)
+        right = hit & (best_i + 1 < ahi) & (best_j + 1 < bhi)
+        pid = np.concatenate([pid[left], pid[right]])
+        alo, ahi, blo, bhi = (
+            np.concatenate([alo[left], best_i[right] + 1]),
+            np.concatenate([ia0[left], ahi[right]]),
+            np.concatenate([blo[left], best_j[right] + 1]),
+            np.concatenate([jb0[left], bhi[right]]),
+        )
+
+    nz = total > 0
+    out[nz] = (2.0 * matched[nz] / total[nz]).astype(np.float32)
+    return out
 
 
 def _jw_core(
@@ -510,7 +611,9 @@ def _scalar_string_batch(scalar_fn):
 # array, max_len) and returns float32 scores in [0, 1].
 STRING_KERNELS = {
     "jaro_winkler": jaro_winkler_batch_arrow,
-    "ratcliff_obershelp": _scalar_string_batch(ratcliff_obershelp),
+    "ratcliff_obershelp": ratcliff_obershelp_batch_arrow,
+    # scalar parity adapter kept selectable for A/B-ing the batched kernel
+    "ratcliff_obershelp_scalar": _scalar_string_batch(ratcliff_obershelp),
     "levenshtein": _scalar_string_batch(levenshtein_normalized),
     "ngram_jaccard": _scalar_string_batch(ngram_jaccard),
 }
