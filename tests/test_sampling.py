@@ -664,6 +664,51 @@ class TestValueQuantileSketch:
                 assert abs(true_rank - q) < 0.08, (et, q, est, true_rank)
 
 
+class TestQuantileSketchVsSqlExact:
+    def test_rank_error_vs_duckdb_quantile_disc_both_sfs(self, ray_session):
+        """The bottom-k sample sketch's estimates must sit within the
+        O(1/√k) rank-error bound of DuckDB's EXACT per-group
+        ``quantile_disc`` on the same parquet input, at BOTH driver sf
+        levels (VERDICT r2 #8 — the SQL-exact cross-check for the
+        rows-only sketch query)."""
+        import duckdb
+
+        from record_linkage_ldu_ray.pipelines.textstats import value_quantile_sketch
+
+        for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+            got = value_quantile_sketch(sf).to_pandas().set_index("event_type")
+            con = duckdb.connect()
+            exact = con.sql(
+                f"""
+                SELECT event_type,
+                       quantile_disc(value, 0.5)  AS q50,
+                       quantile_disc(value, 0.9)  AS q90,
+                       quantile_disc(value, 0.99) AS q99,
+                       list(value ORDER BY value) AS vals
+                FROM '{sf}/events.parquet'
+                GROUP BY event_type
+                """
+            ).df().set_index("event_type")
+            con.close()
+            assert set(got.index) == set(exact.index)
+            # k=512 bottom-k sample: rank error a few × 1/√k ≈ 0.044
+            bound = 0.08
+            for et in exact.index:
+                vals = np.asarray(exact.loc[et, "vals"], dtype=np.float64)
+                n = len(vals)
+                for q, col, ecol in (
+                    (0.5, "q50_est", "q50"),
+                    (0.9, "q90_est", "q90"),
+                    (0.99, "q99_est", "q99"),
+                ):
+                    est = got.loc[et, col]
+                    rank_est = np.searchsorted(vals, est, side="right") / n
+                    rank_exact = np.searchsorted(vals, exact.loc[et, ecol], side="right") / n
+                    # estimate's rank within bound of the EXACT value's rank
+                    assert abs(rank_est - rank_exact) < bound, (sf, et, q, est)
+                    assert abs(rank_est - q) < bound, (sf, et, q, est, rank_est)
+
+
 class TestVocabCoverage:
     def test_boundary_and_empty_docs(self, ray_session):
         """Tokens outside the top-V vocabulary lower coverage; empty docs
