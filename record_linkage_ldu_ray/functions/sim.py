@@ -301,6 +301,145 @@ def ratcliff_obershelp_batch_arrow(arr_a, arr_b, max_len: int = 64) -> np.ndarra
     return out
 
 
+def levenshtein_batch_arrow(arr_a, arr_b, max_len: int = 64) -> np.ndarray:
+    """Vectorized normalized Levenshtein over n Arrow string pairs — the
+    batch form of :func:`levenshtein_normalized` (bit-equal per pair), so
+    the reference's SHORT-field default algorithm (compare_ldu_hw.py:72,
+    ``td.levenshtein.normalized_similarity``) runs vectorized when
+    selected in ``ScoringConfig.string_kernels``.
+
+    Scheme: Myers/Hyyrö bit-parallel edit distance with the pattern's
+    64-bit state vectors (VP/VN) held as numpy uint64 ARRAYS over the
+    whole pair batch — each text position advances every pair with ~12
+    vectorized word ops.  The per-position Eq masks come from one padded
+    code-matrix comparison per column (same ``pad_codes_arrow`` buffers
+    as the JW kernel).  Patterns are clamped to 64 code points (one
+    machine word); ``max_len`` beyond 64 clamps like the JW kernel.
+    """
+    n = len(arr_a)
+    if n == 0:
+        return np.zeros(0, dtype=np.float32)
+    L = min(max_len, 64)
+    A, la = pad_codes_arrow(arr_a, L)
+    B, lb = pad_codes_arrow(arr_b, L)
+
+    # pattern = the LONGER side (scalar kernel swaps so n1 >= n2); Myers
+    # wants the pattern in the bitmask, the text walked column-by-column
+    swap = la < lb
+    if swap.any():
+        A2 = np.where(swap[:, None], B, A)
+        B = np.where(swap[:, None], A, B)
+        A = A2
+        la2 = np.where(swap, lb, la)
+        lb = np.where(swap, la, lb)
+        la, lb = la2, lb
+
+    one = np.uint64(1)
+    score = la.astype(np.int64).copy()
+    VP = _mask_below(la)
+    VN = np.zeros(n, dtype=np.uint64)
+    top = np.zeros(n, dtype=np.uint64)
+    pos = la > 0
+    top[pos] = one << (la[pos] - 1).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(int(lb.max()) if n else 0):
+            active = j < lb
+            if not active.any():
+                break
+            # Eq: bit i set iff pattern[i] == text[j] (column compare + pack)
+            bits = A == B[:, j][:, None]
+            Eq = (
+                bits.astype(np.uint64)
+                << np.arange(L, dtype=np.uint64)[None, :]
+            ).sum(axis=1, dtype=np.uint64)
+            Xv = Eq | VN
+            Xh = (((Eq & VP) + VP) ^ VP) | Eq
+            Ph = VN | ~(Xh | VP)
+            Mh = VP & Xh
+            delta = ((Ph & top) != 0).astype(np.int64) - ((Mh & top) != 0).astype(np.int64)
+            score = np.where(active, score + delta, score)
+            Ph = (Ph << one) | one
+            Mh = Mh << one
+            nVP = Mh | ~(Xv | Ph)
+            nVN = Ph & Xv
+            VP = np.where(active, nVP, VP)
+            VN = np.where(active, nVN, VN)
+
+    out = np.zeros(n, dtype=np.float64)
+    nz = la > 0  # la >= lb after the swap; la == 0 → both empty
+    out[nz] = 1.0 - score[nz] / la[nz]
+    out[~nz] = 1.0  # both empty → 1.0 (scalar s1 == s2 fast path)
+    out[(la > 0) & (lb == 0)] = 0.0  # one side empty → 0.0
+    return out.astype(np.float32)
+
+
+def ngram_jaccard_batch_arrow(arr_a, arr_b, max_len: int = 64) -> np.ndarray:
+    """Vectorized character-trigram Jaccard over n Arrow string pairs —
+    the batch form of :func:`ngram_jaccard` (n=3; bit-equal per pair).
+
+    Trigram identity is EXACT, not hashed: three code points (< 0x110000,
+    21 bits each) pack losslessly into one uint64, so set equality over
+    packed trigrams equals string-trigram equality.  Per-row sorted-unique
+    gram lists are built with one lexsort over the whole batch and fed to
+    :func:`jaccard_sorted_u64_batch` — no per-pair Python.
+    """
+    import pyarrow.compute as pc
+
+    n_pairs = len(arr_a)
+    out = np.zeros(n_pairs, dtype=np.float32)
+    if n_pairs == 0:
+        return out
+    L = max_len
+    A, la = pad_codes_arrow(arr_a, L)
+    B, lb = pad_codes_arrow(arr_b, L)
+
+    def grams(C: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(flat sorted-unique packed trigrams, offsets) per row.  Per-row
+        ``np.sort(axis=1)`` with a top-bit sentinel (real grams use 63
+        bits, so the sentinel never collides) — much cheaper than a global
+        lexsort of the flat gram stream."""
+        n, Lc = C.shape
+        if Lc < 3:
+            return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+        packed = (
+            (C[:, :-2].astype(np.uint64) << np.uint64(42))
+            | (C[:, 1:-1].astype(np.uint64) << np.uint64(21))
+            | C[:, 2:].astype(np.uint64)
+        )
+        cnt = np.maximum(lens - 2, 0)
+        pos = np.arange(Lc - 2, dtype=np.int64)[None, :]
+        packed[pos >= cnt[:, None]] = np.uint64(0xFFFFFFFFFFFFFFFF)
+        packed.sort(axis=1)  # valid grams ascend; sentinels sink to the end
+        keep = pos < cnt[:, None]
+        keep[:, 1:] &= packed[:, 1:] != packed[:, :-1]
+        uniq_cnt = keep.sum(axis=1)
+        offs = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(uniq_cnt, out=offs[1:])
+        return packed[keep], offs  # row-major bool index → per-row ascending
+
+    va, oa = grams(A, la)
+    vb, ob = grams(B, lb)
+    out = jaccard_sorted_u64_batch(va, oa, vb, ob).astype(np.float32)
+    # scalar conventions: s1 == s2 → 1.0 (covers equal short strings);
+    # exactly one side gram-less → 0.0; both gram-less & unequal → 1.0
+    ca, cb = np.maximum(la - 2, 0), np.maximum(lb - 2, 0)
+    both_empty = (ca == 0) & (cb == 0)
+    one_empty = (ca == 0) != (cb == 0)
+    out[both_empty] = 1.0
+    out[one_empty] = 0.0
+    eq = pc.equal(
+        pc.fill_null(_to_single(arr_a), ""), pc.fill_null(_to_single(arr_b), "")
+    ).to_numpy(zero_copy_only=False)
+    out[eq] = 1.0
+    return out
+
+
+def _to_single(arr):
+    import pyarrow as pa
+
+    return arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+
+
 def _jw_core(
     A: np.ndarray,
     la: np.ndarray,
@@ -612,8 +751,10 @@ def _scalar_string_batch(scalar_fn):
 STRING_KERNELS = {
     "jaro_winkler": jaro_winkler_batch_arrow,
     "ratcliff_obershelp": ratcliff_obershelp_batch_arrow,
-    # scalar parity adapter kept selectable for A/B-ing the batched kernel
+    "levenshtein": levenshtein_batch_arrow,
+    "ngram_jaccard": ngram_jaccard_batch_arrow,
+    # scalar parity adapters kept selectable for A/B-ing the batched kernels
     "ratcliff_obershelp_scalar": _scalar_string_batch(ratcliff_obershelp),
-    "levenshtein": _scalar_string_batch(levenshtein_normalized),
-    "ngram_jaccard": _scalar_string_batch(ngram_jaccard),
+    "levenshtein_scalar": _scalar_string_batch(levenshtein_normalized),
+    "ngram_jaccard_scalar": _scalar_string_batch(ngram_jaccard),
 }

@@ -387,6 +387,79 @@ class TestBatchKernelProperties:
         assert got[2] == 0.0 and got[3] == 0.0  # one side empty/null
         assert got[4] == 1.0
 
+    def test_levenshtein_batch_property(self):
+        """Batched Myers bit-parallel Levenshtein must be bit-equal to the
+        scalar DP kernel (the reference's short-field default,
+        compare_ldu_hw.py:72) on arbitrary pairs."""
+        import pyarrow as pa
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from record_linkage_ldu_ray.functions.sim import (
+            _scalar_string_batch,
+            levenshtein_batch_arrow,
+            levenshtein_normalized,
+        )
+
+        scalar = _scalar_string_batch(levenshtein_normalized)
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.one_of(st.none(), st.text(alphabet="abcß日 0", max_size=90)),
+                    st.one_of(st.none(), st.text(alphabet="abcß日 0", max_size=90)),
+                ),
+                min_size=1,
+                max_size=16,
+            ),
+            st.sampled_from([5, 64]),
+        )
+        def check(pairs, max_len):
+            aa = pa.array([a for a, _ in pairs], pa.string())
+            bb = pa.array([b for _, b in pairs], pa.string())
+            got = levenshtein_batch_arrow(aa, bb, max_len)
+            want = scalar(aa, bb, max_len)
+            assert (got == want).all(), (pairs, max_len, got, want)
+
+        check()
+
+    def test_ngram_jaccard_batch_property(self):
+        """Batched exact-packed trigram Jaccard must be bit-equal to the
+        scalar set kernel, including the <n-char edge conventions."""
+        import pyarrow as pa
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from record_linkage_ldu_ray.functions.sim import (
+            _scalar_string_batch,
+            ngram_jaccard,
+            ngram_jaccard_batch_arrow,
+        )
+
+        scalar = _scalar_string_batch(ngram_jaccard)
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(
+                    st.one_of(st.none(), st.text(alphabet="abß日 0", max_size=90)),
+                    st.one_of(st.none(), st.text(alphabet="abß日 0", max_size=90)),
+                ),
+                min_size=1,
+                max_size=16,
+            ),
+            st.sampled_from([2, 64, 90]),
+        )
+        def check(pairs, max_len):
+            aa = pa.array([a for a, _ in pairs], pa.string())
+            bb = pa.array([b for _, b in pairs], pa.string())
+            got = ngram_jaccard_batch_arrow(aa, bb, max_len)
+            want = scalar(aa, bb, max_len)
+            assert (got == want).all(), (pairs, max_len, got, want)
+
+        check()
+
     def test_jaccard_batch_matches_scalar(self):
         from record_linkage_ldu_ray.functions.sim import (
             jaccard_sorted_u64,
