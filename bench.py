@@ -296,7 +296,7 @@ def _run_leg(sf_dir: str, n: int, stage_only: bool) -> dict:
     return json.loads(line[-1])
 
 
-def _scaling(sf_dir: str, lo: int, hi: int, reps: int = 3) -> None:
+def _scaling(sf_dir: str, lo: int, hi: int, reps: int = 3, e2e_reps: int = 1) -> None:
     """Alternating repeated legs, per-level BEST throughput.
 
     This sandbox node is SHARED: identical legs vary ~2× with external
@@ -304,33 +304,38 @@ def _scaling(sf_dir: str, lo: int, hi: int, reps: int = 3) -> None:
     apart).  Peak throughput per level — the capability the efficiency
     criterion is about — is taken as the best of ``reps`` alternating
     fresh-process runs, so background-load troughs hit both levels alike
-    and are rejected.  The first pair of legs also runs the full flagship.
+    and are rejected.
+
+    ``e2e_reps``: how many leg pairs run the FULL flagship DAG (the rest
+    run only the scoring-stage probe).  With ``e2e_reps == reps`` the
+    end-to-end efficiency uses the same per-level-best protocol as the
+    stage metric (one artifact covering both criteria).
     """
-    results = {}
     stage_best = {lo: None, hi: None}
     stage_all = {lo: [], hi: []}
-    # evenly alternating repeat legs (reps per level): external tenant load
-    # on this shared node depresses WHICHEVER legs coincide with it (a full
-    # factor of 2 between runs an hour apart was observed, in both
-    # directions), so both levels need several samples and the efficiency
-    # is computed from each level's best
-    schedule = [(lo, False), (hi, False)]
-    for _ in range(reps - 1):
-        schedule.append((hi, True))
-        schedule.append((lo, True))
-    for n, stage_only in schedule:
-        leg = _run_leg(sf_dir, n, stage_only=stage_only)
-        if not stage_only:
-            results[n] = leg
-        st = leg["scoring_stage"]
-        stage_all[n].append(st["pairs_per_s"])
-        if stage_best[n] is None or st["pairs_per_s"] > stage_best[n]["pairs_per_s"]:
-            stage_best[n] = st
+    e2e_best = {lo: None, hi: None}
+    e2e_all = {lo: [], hi: []}
+    # evenly alternating repeat legs (reps per level, order flipped each
+    # round): external tenant load on this shared node depresses WHICHEVER
+    # legs coincide with it (a full factor of 2 between runs an hour apart
+    # was observed, in both directions), so both levels need several
+    # samples and the efficiency is computed from each level's best
+    for r in range(max(reps, e2e_reps)):
+        full = r < e2e_reps
+        for n in ((lo, hi) if r % 2 == 0 else (hi, lo)):
+            leg = _run_leg(sf_dir, n, stage_only=not full)
+            if full:
+                e2e_all[n].append(leg["pairs_per_s"])
+                if e2e_best[n] is None or leg["pairs_per_s"] > e2e_best[n]["pairs_per_s"]:
+                    e2e_best[n] = leg
+            st = leg["scoring_stage"]
+            stage_all[n].append(st["pairs_per_s"])
+            if stage_best[n] is None or st["pairs_per_s"] > stage_best[n]["pairs_per_s"]:
+                stage_best[n] = st
     for n in (lo, hi):
-        results[n]["scoring_stage"] = stage_best[n]
-        results[n]["scoring_stage"]["all_pairs_per_s"] = stage_all[n]
-    tp_lo = results[lo]["pairs_per_s"]
-    tp_hi = results[hi]["pairs_per_s"]
+        stage_best[n]["all_pairs_per_s"] = stage_all[n]
+    tp_lo = e2e_best[lo]["pairs_per_s"]
+    tp_hi = e2e_best[hi]["pairs_per_s"]
     eff = (tp_hi / tp_lo) / (hi / lo) if tp_lo > 0 else 0.0
     st_lo = stage_best[lo]["pairs_per_s"]
     st_hi = stage_best[hi]["pairs_per_s"]
@@ -347,20 +352,23 @@ def _scaling(sf_dir: str, lo: int, hi: int, reps: int = 3) -> None:
                 "value": round(eff_stage, 3),
                 "unit": "efficiency",
                 "eff_flagship_end_to_end": round(eff, 3),
+                "e2e_reps_per_level": e2e_reps,
                 "sf": _sf_of(sf_dir),
                 "levels": {
                     str(lo): {
-                        "sec": results[lo]["queries"]["transcript_dedup_fixture"],
+                        "sec": e2e_best[lo]["queries"]["transcript_dedup_fixture"],
                         "pairs_per_s": tp_lo,
-                        "scoring_stage": results[lo]["scoring_stage"],
+                        "all_pairs_per_s": e2e_all[lo],
+                        "scoring_stage": stage_best[lo],
                     },
                     str(hi): {
-                        "sec": results[hi]["queries"]["transcript_dedup_fixture"],
+                        "sec": e2e_best[hi]["queries"]["transcript_dedup_fixture"],
                         "pairs_per_s": tp_hi,
-                        "scoring_stage": results[hi]["scoring_stage"],
+                        "all_pairs_per_s": e2e_all[hi],
+                        "scoring_stage": stage_best[hi],
                     },
                 },
-                "pairs_scored": results[hi]["pairs_scored"],
+                "pairs_scored": e2e_best[hi]["pairs_scored"],
             }
         ),
         file=_REAL_STDOUT,
@@ -391,6 +399,7 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--hi", type=int, default=16)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--e2e-reps", dest="e2e_reps", type=int, default=1)
     ap.add_argument("--mult", type=float, default=1.0)
     args = ap.parse_args()
 
@@ -398,7 +407,7 @@ def main() -> None:
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        _scaling(sf_dir, args.lo, args.hi, args.reps)
+        _scaling(sf_dir, args.lo, args.hi, args.reps, args.e2e_reps)
     elif args.stage_only:
         _stage_worker(sf_dir, num_cpus, args.mult)
     else:
