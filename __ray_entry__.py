@@ -516,6 +516,45 @@ def _q_embedding_dup_pairs_ivf(sf_dir: str):
     return embedding_dup_pairs(with_cells, tau=0.4, block_col="cell")
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup end-to-end: label-blocked cosine pairs → connected
+    components → min-id representative per semantic cluster (exact
+    recursive-CTE oracle)."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import semantic_dedup
+
+    return semantic_dedup(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), tau=0.4
+    )
+
+
+def _q_semantic_dedup_ivf(sf_dir: str):
+    """SemDeDup with the ENGINE-trained coarse quantizer as the block —
+    the 100 TB path (k-means is iterative → rows-only; deterministic
+    fixed-seed centroids, parity gates in pytest)."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.ann import assign_cells, kmeans_centroids
+    from record_linkage_ldu_ray.pipelines.docdedup import semantic_dedup
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_centroids(ds, n_cells=16)
+    with_cells = assign_cells(ds, cents)
+    return semantic_dedup(with_cells, tau=0.4, block_col="cell")
+
+
+def _q_conversation_stats(sf_dir: str):
+    """Per-conversation role/tool/turn-length profile over the synthetic
+    transcript corpus (two-level partial aggregation)."""
+    from record_linkage_ldu_ray.pipelines.relational import (
+        conversation_stats,
+        transcripts_from_documents,
+    )
+
+    return conversation_stats(transcripts_from_documents(sf_dir))
+
+
 def _q_payload_metadata(sf_dir: str):
     import ray.data
 
@@ -993,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_click_events": _q_filter_click_events,
         # -- per-conv aggregation (A1) + boilerplate / sessionize --
         "user_event_features": _q_user_event_features,
+        "conversation_stats": _q_conversation_stats,
         "remove_boilerplate_turns": _q_remove_boilerplate_turns,
         "sessionize_events": _q_sessionize_events,
         "top_events_per_user": _q_top_events_per_user,
@@ -1007,6 +1047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "fuzzy_dedup_documents": _q_fuzzy_dedup_documents,
         "fuzzy_dedup_documents_lsh": _q_fuzzy_dedup_documents_lsh,
+        "semantic_dedup": _q_semantic_dedup,
         # -- curation composition + decontamination --
         "curate_documents": _q_curate_documents,
         "decontaminate_ngrams": _q_decontaminate_ngrams,
@@ -1037,10 +1078,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "payload_metadata": _q_payload_metadata,
         "image_resize_stub": _q_image_resize_stub,
         "audio_features_stub": _q_audio_features_stub,
-        "video_frame_sample_stub": _q_video_frame_sample_stub,
-        "image_features_stub": _q_image_features_stub,
         # ======== driver 50-entry window boundary (entries above have
         # priority for CORRECTNESS_rN.json rows) ========
+        # -- multimodal stubs past the window (driver-green/judge-green
+        # in r02; displaced by semantic_dedup + conversation_stats) --
+        "video_frame_sample_stub": _q_video_frame_sample_stub,
+        "image_features_stub": _q_image_features_stub,
+        "semantic_dedup_ivf": _q_semantic_dedup_ivf,
         # -- relational / window variants (driver-green in r02) --
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
@@ -1413,6 +1457,39 @@ def oracle_sql() -> dict[str, str]:
               ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.4),
+            ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(src, dst) AS (
+              SELECT a, a FROM ed
+              UNION
+              SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+            rep AS (SELECT src AS vec_id, min(dst) AS rep_id
+                    FROM reach GROUP BY src)
+            SELECT e.vec_id,
+                   coalesce(rep.rep_id, e.vec_id) AS rep_id,
+                   coalesce(rep.rep_id, e.vec_id) = e.vec_id AS keep
+            FROM embeddings e LEFT JOIN rep ON e.vec_id = rep.vec_id
+        """,
+        "conversation_stats": f"""
+            WITH tsyn AS ({_TSYN_SQL})
+            SELECT conv_id,
+                   CAST(count(*) AS BIGINT) AS n_turns,
+                   CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_user,
+                   CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_assistant,
+                   CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tool,
+                   round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+                         / count(*), 6) AS avg_turn_tokens
+            FROM tsyn GROUP BY conv_id
         """,
         "chunk_documents": f"""
             WITH toks AS (SELECT doc_id, {_WS_WORDS} AS w FROM documents),

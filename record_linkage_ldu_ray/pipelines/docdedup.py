@@ -945,6 +945,40 @@ def fuzzy_dedup_documents_lsh(
     return dedup_by_pairs(ds, pairs, id_col=id_col)
 
 
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    tau: float = 0.4,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_parts: int | None = None,
+):
+    """SemDeDup-style semantic dedup over an embedding column (Abbas et
+    al. 2023, arXiv:2303.09540): cosine-similar pairs within embedding
+    blocks → distributed connected components → one representative
+    (min id) per semantic cluster.
+
+    ``block_col`` is the SemDeDup cluster: a pre-existing label here
+    (SQL-oracle-checkable end to end), or an ENGINE-trained k-means cell
+    via :func:`ann.kmeans_centroids` + :func:`ann.assign_cells` — the
+    100 TB path, where each cell is small by construction and the dense
+    within-cell cosine stays bounded (see ``semantic_dedup_ivf`` in
+    ``__ray_entry__``).
+
+    Output: (``id_col``:int64, rep_id:int64, keep:bool), one row per
+    input vector; ``keep`` marks the representative.
+    """
+    pairs = embedding_dup_pairs(
+        ds,
+        tau=tau,
+        block_col=block_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_parts=num_parts,
+    )
+    return dedup_by_pairs(ds, pairs, id_col=id_col)
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination: flag corpus docs sharing an n-gram with a
 # held-out benchmark/eval set

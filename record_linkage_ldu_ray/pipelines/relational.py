@@ -692,6 +692,77 @@ def transcripts_from_documents(sf_dir: str):
     return ds.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def conversation_stats(ts: "ray.data.Dataset", num_parts: int = 32):
+    """Per-conversation profile over the transcript table (input_hint
+    schema: conv_id, turn_idx, role, text, tool): turn counts by role,
+    tool-turn count and mean turn length in whitespace tokens — the
+    corpus-triage aggregate a transcript curation run computes before
+    dedup (reference: main_ldu_ldu.py's per-group length stats, D4/A4
+    analog over conversations instead of match groups).
+
+    Scale pattern: two-level aggregation — each input batch combines to
+    ONE partial row per conv_id it contains (vectorized polars group_by),
+    and only those partials enter the hash exchange; the merge sums
+    partials per partition.  Shuffle volume is O(distinct convs per
+    batch), not O(turns).  The mean derives from int64 sums AFTER the
+    merge, so it is bit-exact at any parallelism / merge order.
+
+    Output: (conv_id, n_turns:int64, n_user:int64, n_assistant:int64,
+    n_tool:int64, avg_turn_tokens:float64 rounded 6dp half-away-from-zero).
+    """
+    from record_linkage_ldu_ray.functions.rounding import round6
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    def _partial(t: pa.Table) -> pa.Table:
+        toks = pc.cast(pc.add(pc.count_substring(t["text"], " "), 1), pa.int64())
+        df = pl.from_arrow(t.select(["conv_id", "role", "tool"]).append_column("_toks", toks))
+        out = (
+            df.group_by("conv_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_turns"),
+                (pl.col("role") == "user").sum().cast(pl.Int64).alias("n_user"),
+                (pl.col("role") == "assistant").sum().cast(pl.Int64).alias("n_assistant"),
+                pl.col("tool").is_not_null().sum().cast(pl.Int64).alias("n_tool"),
+                pl.col("_toks").sum().alias("_sum_toks"),
+            )
+            .to_arrow()
+        )
+        h = fnv1a_hash_strings(out["conv_id"])
+        return out.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        res = (
+            df.group_by("conv_id")
+            .agg(
+                pl.col("n_turns").sum(),
+                pl.col("n_user").sum(),
+                pl.col("n_assistant").sum(),
+                pl.col("n_tool").sum(),
+                pl.col("_sum_toks").sum(),
+            )
+            .to_arrow()
+        )
+        avg = round6(
+            res["_sum_toks"].to_numpy().astype(np.float64)
+            / res["n_turns"].to_numpy().astype(np.float64)
+        )
+        return res.drop_columns(["_sum_toks"]).append_column(
+            "avg_turn_tokens", pa.array(avg, pa.float64())
+        )
+
+    return partitioned_map(
+        ts.select_columns(["conv_id", "role", "text", "tool"]).map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["part"],
+        num_parts,
+        _merge,
+    )
+
+
 # ---------------------------------------------------------------------------
 # global window functions: ROW_NUMBER / NTILE over a full sort
 

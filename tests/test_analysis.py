@@ -948,3 +948,65 @@ class TestOrderShare:
         sums = got.groupby("o_custkey")["share"].sum()
         assert np.allclose(sums.to_numpy(), 1.0)
         assert (got["share"] > 0).all() and (got["share"] <= 1.0).all()
+
+
+class TestConversationStats:
+    def test_exact_and_partition_invariant(self, ray_session):
+        """Two-level partial aggregation must match a single-pass pandas
+        groupby exactly, at any partitioning / num_parts."""
+        import pandas as pd
+        import ray.data
+
+        from record_linkage_ldu_ray.functions.rounding import round6_scalar
+        from record_linkage_ldu_ray.pipelines.relational import conversation_stats
+
+        rng = np.random.default_rng(11)
+        rows = []
+        for c in range(60):
+            for t in range(int(rng.integers(1, 14))):
+                role = ["user", "assistant", "tool"][int(rng.integers(0, 3))]
+                k = int(rng.integers(1, 9))
+                text = " ".join(f"w{int(x)}" for x in rng.integers(0, 30, k))
+                rows.append((f"c{c:03d}", t, role, text, "search" if role == "tool" else None))
+        t = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+                "tool": pa.array([r[4] for r in rows], pa.string()),
+            }
+        )
+        # repartition(9): conversations straddle batch boundaries, so the
+        # merge really combines partials from different batches
+        ds = ray.data.from_arrow(t).repartition(9)
+        cols = ["conv_id", "n_turns", "n_user", "n_assistant", "n_tool", "avg_turn_tokens"]
+        a = conversation_stats(ds, num_parts=3).to_pandas()[cols]
+        b = conversation_stats(ds, num_parts=16).to_pandas()[cols]
+        a = a.sort_values("conv_id").reset_index(drop=True)
+        b = b.sort_values("conv_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+        df["toks"] = df["text"].str.count(" ") + 1
+        exp = (
+            df.groupby("conv_id")
+            .apply(
+                lambda g: pd.Series(
+                    {
+                        "n_turns": len(g),
+                        "n_user": int((g["role"] == "user").sum()),
+                        "n_assistant": int((g["role"] == "assistant").sum()),
+                        "n_tool": int(g["tool"].notna().sum()),
+                        "avg_turn_tokens": round6_scalar(g["toks"].sum() / len(g)),
+                    }
+                ),
+                include_groups=False,
+            )
+            .reset_index()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        for c in ["n_turns", "n_user", "n_assistant", "n_tool"]:
+            exp[c] = exp[c].astype("int64")
+        pd.testing.assert_frame_equal(a, exp[cols])

@@ -278,3 +278,89 @@ class TestDedupByPairs:
         pairs = pa.table({"doc_id_a": [9], "doc_id_b": [10], "jaccard": [1.0]})
         out = dedup_by_pairs(ray.data.from_arrow(docs), ray.data.from_arrow(pairs)).to_pandas()
         assert set(out["rep_id"]) == {9}
+
+
+class TestSemanticDedup:
+    def test_brute_force_parity_and_closure(self, ray_session):
+        """semantic_dedup must equal a brute-force union-find over ALL
+        label-blocked pairs with cos >= tau (exact semantics, no
+        approximation in the label-blocked mode)."""
+        from record_linkage_ldu_ray.pipelines.docdedup import semantic_dedup
+
+        rng = np.random.default_rng(7)
+        dim, tau = 16, 0.9
+        vecs, labels, vids = [], [], []
+        centers = rng.normal(size=(5, dim))
+        vid = 100
+        for c in range(5):
+            for _ in range(6):  # tight families -> within-label dup chains
+                vecs.append(centers[c] + rng.normal(scale=0.005, size=dim))
+                labels.append(c % 3)  # labels split families across blocks
+                vids.append(vid)
+                vid += 3  # non-contiguous ids: rep must be numeric min
+        for _ in range(15):  # scattered singletons
+            vecs.append(rng.normal(size=dim))
+            labels.append(int(rng.integers(0, 3)))
+            vids.append(vid)
+            vid += 3
+        mat = np.asarray(vecs, np.float64)
+        t = pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "label": pa.array(labels, pa.int32()),
+                "embedding": pa.array([list(map(float, v)) for v in mat]),
+            }
+        )
+        out = (
+            semantic_dedup(ray.data.from_arrow(t).repartition(5), tau=tau)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        # brute-force ground truth: min-root union-find over exact pairs
+        unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        parent = list(range(len(vids)))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        order = np.argsort(vids)  # process in id order; roots stay minimal
+        for ii in range(len(order)):
+            for jj in range(ii + 1, len(order)):
+                i, j = order[ii], order[jj]
+                if labels[i] == labels[j] and unit[i] @ unit[j] >= tau:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        lo, hi = (ra, rb) if vids[ra] < vids[rb] else (rb, ra)
+                        parent[hi] = lo
+        expect = {vids[i]: vids[find(i)] for i in range(len(vids))}
+        got = dict(zip(out["vec_id"], out["rep_id"]))
+        assert got == expect
+        keep = dict(zip(out["vec_id"], out["keep"]))
+        for v in got:  # closure: keep <=> own representative, reps kept
+            assert keep[v] == (got[v] == v)
+            assert got[got[v]] == got[v]
+        assert sum(keep.values()) < len(vids)  # families actually collapsed
+
+    def test_ivf_variant_deterministic(self, ray_session, sf_dir):
+        """ENGINE-trained-cell SemDeDup (k-means blocks) is a pure function
+        of the input at any parallelism: two runs are byte-identical."""
+        import pandas as pd
+
+        from record_linkage_ldu_ray.pipelines.ann import assign_cells, kmeans_centroids
+        from record_linkage_ldu_ray.pipelines.docdedup import semantic_dedup
+
+        def run(nblocks):
+            ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").repartition(nblocks)
+            cents = kmeans_centroids(ds, n_cells=16)
+            return (
+                semantic_dedup(assign_cells(ds, cents), tau=0.4, block_col="cell")
+                .to_pandas()
+                .sort_values("vec_id")
+                .reset_index(drop=True)
+            )
+
+        pd.testing.assert_frame_equal(run(3), run(8))
