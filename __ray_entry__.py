@@ -544,6 +544,18 @@ def _q_semantic_dedup_ivf(sf_dir: str):
     return semantic_dedup(with_cells, tau=0.4, block_col="cell")
 
 
+def _q_mask_duplicate_spans(sf_dir: str):
+    """Lee-et-al-style duplicated-span masking: tokens covered by any
+    8-token gram occurring in >= 2 distinct docs are masked out."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import mask_duplicate_spans
+
+    return mask_duplicate_spans(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), L=8, min_df=2
+    )
+
+
 def _q_conversation_stats(sf_dir: str):
     """Per-conversation role/tool/turn-length profile over the synthetic
     transcript corpus (two-level partial aggregation)."""
@@ -1048,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_dedup_documents": _q_fuzzy_dedup_documents,
         "fuzzy_dedup_documents_lsh": _q_fuzzy_dedup_documents_lsh,
         "semantic_dedup": _q_semantic_dedup,
+        "mask_duplicate_spans": _q_mask_duplicate_spans,
         # -- curation composition + decontamination --
         "curate_documents": _q_curate_documents,
         "decontaminate_ngrams": _q_decontaminate_ngrams,
@@ -1077,11 +1090,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- multimodal plumbing --
         "payload_metadata": _q_payload_metadata,
         "image_resize_stub": _q_image_resize_stub,
-        "audio_features_stub": _q_audio_features_stub,
         # ======== driver 50-entry window boundary (entries above have
         # priority for CORRECTNESS_rN.json rows) ========
         # -- multimodal stubs past the window (driver-green/judge-green
-        # in r02; displaced by semantic_dedup + conversation_stats) --
+        # in r02; displaced by semantic_dedup, mask_duplicate_spans and
+        # conversation_stats) --
+        "audio_features_stub": _q_audio_features_stub,
         "video_frame_sample_stub": _q_video_frame_sample_stub,
         "image_features_stub": _q_image_features_stub,
         "semantic_dedup_ivf": _q_semantic_dedup_ivf,
@@ -1476,6 +1490,40 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(rep.rep_id, e.vec_id) AS rep_id,
                    coalesce(rep.rep_id, e.vec_id) = e.vec_id AS keep
             FROM embeddings e LEFT JOIN rep ON e.vec_id = rep.vec_id
+        """,
+        "mask_duplicate_spans": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+            g AS (SELECT doc_id, i,
+                         array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+                  FROM (SELECT doc_id, w,
+                               unnest(range(1, len(w) - 8 + 2)) AS i
+                        FROM toks)),
+            df AS (SELECT gram, count(DISTINCT doc_id) AS d
+                   FROM g GROUP BY gram),
+            hits AS (SELECT g.doc_id, g.i
+                     FROM g JOIN df USING (gram) WHERE df.d >= 2),
+            cov AS (SELECT DISTINCT doc_id, p FROM
+                      (SELECT doc_id, unnest(range(i, i + 8)) AS p
+                       FROM hits)),
+            pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p, w
+                    FROM toks),
+            kept AS (SELECT pos.doc_id, pos.p, pos.w[pos.p] AS tok
+                     FROM pos LEFT JOIN cov
+                       ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                     WHERE cov.p IS NULL),
+            clean AS (SELECT doc_id,
+                             array_to_string(list(tok ORDER BY p), ' ')
+                               AS text_clean
+                      FROM kept GROUP BY doc_id),
+            nd AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+                   round(CAST(coalesce(nd.n_dup, 0) AS DOUBLE) / len(t.w), 6)
+                     AS dup_token_frac,
+                   coalesce(clean.text_clean, '') AS text_clean
+            FROM toks t LEFT JOIN nd USING (doc_id)
+                        LEFT JOIN clean USING (doc_id)
         """,
         "conversation_stats": f"""
             WITH tsyn AS ({_TSYN_SQL})

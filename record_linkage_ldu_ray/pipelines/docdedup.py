@@ -980,6 +980,183 @@ def semantic_dedup(
 
 
 # ---------------------------------------------------------------------------
+# duplicated-span masking: Lee et al. 2021 (arXiv:2107.06499) substring
+# dedup, approximated at the token-n-gram level
+
+
+def _token_grams(texts: pa.Array | pa.ChunkedArray, L: int):
+    """Whitespace tokens of a whole batch as ONE flat stream plus the
+    rolling L-token-gram hashes — no per-document Python loop.
+
+    Returns (flat_tokens:pl.Series, dlen, offs, gpos, gdoc, gh) where
+    ``gpos``/``gdoc`` are the flat start position and row index of every
+    in-document gram and ``gh`` its 64-bit rolling polynomial hash (FNV
+    prime base over per-token FNV-1a hashes; uint64 wraparound).
+    """
+    from record_linkage_ldu_ray.functions.hashing import fnv1a_hash_strings
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    s = pl.from_arrow(texts).fill_null("")
+    lists = s.str.split(" ")
+    dlen = lists.list.len().to_numpy().astype(np.int64)
+    flat = lists.explode()
+    th = fnv1a_hash_strings(flat.to_arrow())
+    total = len(th)
+    m_flat = max(total - L + 1, 0)
+    h = np.zeros(m_flat, np.uint64)
+    B = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for i in range(L):
+            h = h * B + th[i : i + m_flat]
+    offs = np.concatenate(([0], np.cumsum(dlen)))
+    m_doc = np.maximum(dlen - L + 1, 0)
+    tot_g = int(m_doc.sum())
+    starts = np.cumsum(m_doc) - m_doc
+    gpos = np.repeat(offs[:-1], m_doc) + (
+        np.arange(tot_g, dtype=np.int64) - np.repeat(starts, m_doc)
+    )
+    gdoc = np.repeat(np.arange(len(dlen), dtype=np.int64), m_doc)
+    gh = h[gpos] if tot_g else np.empty(0, np.uint64)
+    return flat, dlen, offs, gpos, gdoc, gh
+
+
+def mask_duplicate_spans(
+    ds: "ray.data.Dataset",
+    L: int = 8,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int | None = None,
+):
+    """Exact duplicated-span masking (Lee et al. 2021, arXiv:2107.06499,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    suffix-array ExactSubstr step approximated at token-L-gram level, the
+    form production corpora like RETRO/Dolma use): any L-token window
+    whose gram occurs in ≥ ``min_df`` DISTINCT documents is a duplicated
+    span; every token covered by such a window is masked out.
+
+    Two passes, raw text shuffles NEVER:
+    1. DF pass — each batch emits one partial row per distinct gram hash
+       it contains (8-byte hash + count of distinct docs in the batch; a
+       document lives in exactly one batch, so partial doc-counts sum to
+       the exact DF).  One hash exchange keyed by gram, merge sums, filter
+       ``df >= min_df``.
+    2. The surviving duplicate-gram hashes broadcast once via ``ray.put``
+       (sorted uint64 array; the dup set is the HEAVY tail only — orders
+       of magnitude smaller than the gram stream; at 100 TB shard the
+       broadcast by gram-hash range and run one pass per shard if it
+       outgrows worker heap), then one map pass recomputes grams per
+       batch, marks covered tokens with a vectorized difference array and
+       rebuilds the cleaned text from kept tokens.
+
+    Output: (``id_col``, n_tokens:int64, n_dup_tokens:int64,
+    dup_token_frac:float64 rounded 6dp, text_clean:string), one row per
+    document.  SQL-oracle-exact at fixture scale (64-bit gram hashes;
+    collisions are ~n²/2⁶⁴ and would only ever mask extra tokens).
+    """
+    from record_linkage_ldu_ray.functions.rounding import round6
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
+
+    n_parts = num_parts if num_parts is not None else default_num_parts()
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "gh": pa.array([], pa.uint64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        _, _, _, _, gdoc, gh = _token_grams(t[text_col], L)
+        if len(gh):
+            order = np.lexsort((gdoc, gh))
+            sg, sd = gh[order], gdoc[order]
+            first = np.concatenate(([True], (sg[1:] != sg[:-1]) | (sd[1:] != sd[:-1])))
+            uu, cnt = np.unique(sg[first], return_counts=True)
+        else:
+            uu, cnt = np.empty(0, np.uint64), np.empty(0, np.int64)
+        return pa.table(
+            {
+                "gh": pa.array(uu, pa.uint64()),
+                "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+                "part": pa.array((uu % np.uint64(n_parts)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def _df_merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        out = df.group_by("gh").agg(pl.col("n_docs").sum())
+        return out.filter(pl.col("n_docs") >= min_df).select(["gh"]).to_arrow()
+
+    dup_ds = partitioned_map(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _df_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["part"],
+        n_parts,
+        _df_merge,
+    )
+    tables = [x for r in dup_ds.to_arrow_refs() if len(x := ray.get(r))]
+    dup = (
+        np.sort(pa.concat_tables(tables)["gh"].to_numpy())
+        if tables
+        else np.empty(0, np.uint64)
+    )
+    dup_ref = ray.put(dup)
+
+    def _mask(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_dup_tokens": pa.array([], pa.int64()),
+                    "dup_token_frac": pa.array([], pa.float64()),
+                    "text_clean": pa.array([], pa.string()),
+                }
+            )
+        dup_sorted = ray.get(dup_ref)
+        flat, dlen, offs, gpos, _, gh = _token_grams(t[text_col], L)
+        total = int(dlen.sum())
+        hit = gpos[np.isin(gh, dup_sorted)] if len(gh) else np.empty(0, np.int64)
+        cover = np.zeros(total + L + 1, np.int64)
+        np.add.at(cover, hit, 1)
+        np.add.at(cover, hit + L, -1)
+        covered = np.cumsum(cover)[:total] > 0
+        n_dup = (
+            np.add.reduceat(covered.astype(np.int64), np.minimum(offs[:-1], total - 1))
+            if total
+            else np.zeros(n, np.int64)
+        )
+        n_dup = np.where(dlen == 0, 0, n_dup)
+        keep_idx = np.nonzero(~covered)[0]
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), dlen)
+        kept = pl.DataFrame({"d": doc_of[keep_idx], "tok": flat.gather(keep_idx)})
+        joined = kept.group_by("d", maintain_order=True).agg(
+            pl.col("tok").str.join(" ").alias("text_clean")
+        )
+        clean = np.full(n, "", dtype=object)
+        clean[joined["d"].to_numpy()] = joined["text_clean"].to_numpy()
+        frac = round6(np.where(dlen > 0, n_dup / np.maximum(dlen, 1), 0.0))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(dlen, pa.int64()),
+                "n_dup_tokens": pa.array(n_dup, pa.int64()),
+                "dup_token_frac": pa.array(frac, pa.float64()),
+                "text_clean": pa.array(clean.tolist(), pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _mask, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination: flag corpus docs sharing an n-gram with a
 # held-out benchmark/eval set
 

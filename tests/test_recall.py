@@ -364,3 +364,73 @@ class TestSemanticDedup:
             )
 
         pd.testing.assert_frame_equal(run(3), run(8))
+
+
+class TestMaskDuplicateSpans:
+    def test_known_spans_and_partition_invariance(self, ray_session):
+        """Tokens covered by an 8-gram shared across >= 2 docs are masked;
+        unique text and sub-L docs are untouched; result is identical at
+        any partitioning."""
+        import pandas as pd
+
+        from record_linkage_ldu_ray.pipelines.docdedup import mask_duplicate_spans
+
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8"  # exactly L=8 tokens
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        f"a1 a2 {shared} a3 a4",
+                        f"b1 {shared} b2 b3 b4 b5",
+                        "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10",  # unique 8-grams
+                        "short doc here",  # < L tokens: no grams
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(docs)
+        out = (
+            mask_duplicate_spans(ds.repartition(3), L=8, min_df=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = dict(zip(out["doc_id"], out["text_clean"]))
+        assert got[1] == "a1 a2 a3 a4"
+        assert got[2] == "b1 b2 b3 b4 b5"
+        assert got[3] == "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"
+        assert got[4] == "short doc here"
+        nd = dict(zip(out["doc_id"], out["n_dup_tokens"]))
+        assert nd[1] == 8 and nd[2] == 8 and nd[3] == 0 and nd[4] == 0
+        assert out["n_tokens"].tolist() == [12, 13, 10, 3]
+
+        two = (
+            mask_duplicate_spans(ds.repartition(1), L=8, min_df=2, num_parts=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, two)
+
+    def test_overlapping_spans_merge(self, ray_session):
+        """Two overlapping duplicated 8-grams cover their union, not 16
+        tokens (difference-array coverage, Lee et al. span semantics)."""
+        from record_linkage_ldu_ray.pipelines.docdedup import mask_duplicate_spans
+
+        nine = "c1 c2 c3 c4 c5 c6 c7 c8 c9"  # 9 tokens -> two overlapping 8-grams
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array([f"x0 {nine} x1", f"y0 y1 {nine}"], pa.string()),
+            }
+        )
+        out = (
+            mask_duplicate_spans(ray.data.from_arrow(docs), L=8, min_df=2)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["n_dup_tokens"].tolist() == [9, 9]
+        assert out["text_clean"].tolist() == ["x0 x1", "y0 y1"]
