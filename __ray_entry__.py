@@ -556,6 +556,33 @@ def _q_mask_duplicate_spans(sf_dir: str):
     )
 
 
+def _q_mask_duplicate_spans_keep_first(sf_dir: str):
+    """Remove-all-but-one variant: the global min (doc_id, pos) occurrence
+    of each duplicated 8-gram stays unmasked (Lee et al. semantics)."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import mask_duplicate_spans
+
+    return mask_duplicate_spans(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"),
+        L=8,
+        min_df=2,
+        keep_first=True,
+    )
+
+
+def _q_unigram_logprob(sf_dir: str):
+    """CCNet-style unigram LM quality scores (corpus-trained unigram
+    distribution; two-level vocab aggregation + broadcast)."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import unigram_logprob_scores
+
+    return unigram_logprob_scores(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
 def _q_conversation_stats(sf_dir: str):
     """Per-conversation role/tool/turn-length profile over the synthetic
     transcript corpus (two-level partial aggregation)."""
@@ -1099,6 +1126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample_stub": _q_video_frame_sample_stub,
         "image_features_stub": _q_image_features_stub,
         "semantic_dedup_ivf": _q_semantic_dedup_ivf,
+        "mask_duplicate_spans_keep_first": _q_mask_duplicate_spans_keep_first,
+        "unigram_logprob": _q_unigram_logprob,
         # -- relational / window variants (driver-green in r02) --
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
@@ -1524,6 +1553,59 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(clean.text_clean, '') AS text_clean
             FROM toks t LEFT JOIN nd USING (doc_id)
                         LEFT JOIN clean USING (doc_id)
+        """,
+        "mask_duplicate_spans_keep_first": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+            g AS (SELECT doc_id, i,
+                         array_to_string(list_slice(w, i, i + 7), ' ') AS gram
+                  FROM (SELECT doc_id, w,
+                               unnest(range(1, len(w) - 8 + 2)) AS i
+                        FROM toks)),
+            df AS (SELECT gram, count(DISTINCT doc_id) AS d,
+                          min(doc_id) AS own_doc
+                   FROM g GROUP BY gram),
+            own AS (SELECT df.gram, df.own_doc, min(g.i) AS own_i
+                    FROM df JOIN g
+                      ON g.gram = df.gram AND g.doc_id = df.own_doc
+                    WHERE df.d >= 2 GROUP BY df.gram, df.own_doc),
+            hits AS (SELECT g.doc_id, g.i FROM g JOIN own USING (gram)
+                     WHERE NOT (g.doc_id = own.own_doc AND g.i = own.own_i)),
+            cov AS (SELECT DISTINCT doc_id, p FROM
+                      (SELECT doc_id, unnest(range(i, i + 8)) AS p
+                       FROM hits)),
+            pos AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS p, w
+                    FROM toks),
+            kept AS (SELECT pos.doc_id, pos.p, pos.w[pos.p] AS tok
+                     FROM pos LEFT JOIN cov
+                       ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+                     WHERE cov.p IS NULL),
+            clean AS (SELECT doc_id,
+                             array_to_string(list(tok ORDER BY p), ' ')
+                               AS text_clean
+                      FROM kept GROUP BY doc_id),
+            nd AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY doc_id)
+            SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(nd.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+                   round(CAST(coalesce(nd.n_dup, 0) AS DOUBLE) / len(t.w), 6)
+                     AS dup_token_frac,
+                   coalesce(clean.text_clean, '') AS text_clean
+            FROM toks t LEFT JOIN nd USING (doc_id)
+                        LEFT JOIN clean USING (doc_id)
+        """,
+        "unigram_logprob": """
+            WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+                          FROM documents),
+            flat AS (SELECT doc_id, unnest(w) AS tok FROM toks),
+            tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                   FROM flat GROUP BY tok),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM tf),
+            ds AS (SELECT f.doc_id, sum(ln(tf.c / tot.n)) AS lp
+                   FROM flat f JOIN tf USING (tok) CROSS JOIN tot
+                   GROUP BY f.doc_id)
+            SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   round(ds.lp / len(t.w), 6) AS mean_token_logprob
+            FROM toks t JOIN ds USING (doc_id)
         """,
         "conversation_stats": f"""
             WITH tsyn AS ({_TSYN_SQL})

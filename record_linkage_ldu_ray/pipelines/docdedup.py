@@ -1028,6 +1028,7 @@ def mask_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_parts: int | None = None,
+    keep_first: bool = False,
 ):
     """Exact duplicated-span masking (Lee et al. 2021, arXiv:2107.06499,
     "Deduplicating Training Data Makes Language Models Better" — the
@@ -1050,6 +1051,12 @@ def mask_duplicate_spans(
        batch, marks covered tokens with a vectorized difference array and
        rebuilds the cleaned text from kept tokens.
 
+    ``keep_first=True`` switches to Lee et al.'s remove-all-but-one
+    semantics: the canonical occurrence of each duplicated gram — the
+    global minimum (doc_id, in-doc position), tracked as a partial min
+    through the same DF exchange — stays unmasked; only the other
+    occurrences are removed.
+
     Output: (``id_col``, n_tokens:int64, n_dup_tokens:int64,
     dup_token_frac:float64 rounded 6dp, text_clean:string), one row per
     document.  SQL-oracle-exact at fixture scale (64-bit gram hashes;
@@ -1060,35 +1067,57 @@ def mask_duplicate_spans(
 
     n_parts = num_parts if num_parts is not None else default_num_parts()
 
+    _EMPTY_PARTIAL = pa.table(
+        {
+            "gh": pa.array([], pa.uint64()),
+            "n_docs": pa.array([], pa.int64()),
+            "own_doc": pa.array([], pa.int64()),
+            "own_pos": pa.array([], pa.int64()),
+            "part": pa.array([], pa.int32()),
+        }
+    )
+
     def _df_partial(t: pa.Table) -> pa.Table:
         if len(t) == 0:
-            return pa.table(
-                {
-                    "gh": pa.array([], pa.uint64()),
-                    "n_docs": pa.array([], pa.int64()),
-                    "part": pa.array([], pa.int32()),
-                }
-            )
-        _, _, _, _, gdoc, gh = _token_grams(t[text_col], L)
-        if len(gh):
-            order = np.lexsort((gdoc, gh))
-            sg, sd = gh[order], gdoc[order]
-            first = np.concatenate(([True], (sg[1:] != sg[:-1]) | (sd[1:] != sd[:-1])))
-            uu, cnt = np.unique(sg[first], return_counts=True)
-        else:
-            uu, cnt = np.empty(0, np.uint64), np.empty(0, np.int64)
+            return _EMPTY_PARTIAL
+        _, _, offs, gpos, gdoc, gh = _token_grams(t[text_col], L)
+        if not len(gh):
+            return _EMPTY_PARTIAL
+        did = t[id_col].to_numpy()[gdoc]
+        ipos = gpos - offs[gdoc]
+        order = np.lexsort((ipos, did, gh))
+        sg, sd, sp = gh[order], did[order], ipos[order]
+        newg = np.concatenate(([True], sg[1:] != sg[:-1]))
+        pairfirst = np.concatenate(([True], (sg[1:] != sg[:-1]) | (sd[1:] != sd[:-1])))
+        uu, cnt = np.unique(sg[pairfirst], return_counts=True)
+        # first row per gh group (sorted by (doc, pos)) == partial owner;
+        # np.unique returns sorted gh, matching sg[newg] exactly
         return pa.table(
             {
                 "gh": pa.array(uu, pa.uint64()),
                 "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+                "own_doc": pa.array(sd[newg], pa.int64()),
+                "own_pos": pa.array(sp[newg], pa.int64()),
                 "part": pa.array((uu % np.uint64(n_parts)).astype(np.int32), pa.int32()),
             }
         )
 
     def _df_merge(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t.drop_columns(["part"]))
-        out = df.group_by("gh").agg(pl.col("n_docs").sum())
-        return out.filter(pl.col("n_docs") >= min_df).select(["gh"]).to_arrow()
+        out = (
+            df.sort(["gh", "own_doc", "own_pos"])
+            .group_by("gh", maintain_order=True)
+            .agg(
+                pl.col("n_docs").sum(),
+                pl.col("own_doc").first(),
+                pl.col("own_pos").first(),
+            )
+        )
+        return (
+            out.filter(pl.col("n_docs") >= min_df)
+            .select(["gh", "own_doc", "own_pos"])
+            .to_arrow()
+        )
 
     dup_ds = partitioned_map(
         ds.select_columns([id_col, text_col]).map_batches(
@@ -1099,12 +1128,17 @@ def mask_duplicate_spans(
         _df_merge,
     )
     tables = [x for r in dup_ds.to_arrow_refs() if len(x := ray.get(r))]
-    dup = (
-        np.sort(pa.concat_tables(tables)["gh"].to_numpy())
-        if tables
-        else np.empty(0, np.uint64)
-    )
-    dup_ref = ray.put(dup)
+    if tables:
+        cat = pa.concat_tables(tables)
+        gh_all = cat["gh"].to_numpy()
+        srt = np.argsort(gh_all)
+        dup = gh_all[srt]
+        own_doc = cat["own_doc"].to_numpy()[srt]
+        own_pos = cat["own_pos"].to_numpy()[srt]
+    else:
+        dup = np.empty(0, np.uint64)
+        own_doc = own_pos = np.empty(0, np.int64)
+    dup_ref = ray.put((dup, own_doc, own_pos))
 
     def _mask(t: pa.Table) -> pa.Table:
         n = len(t)
@@ -1118,10 +1152,24 @@ def mask_duplicate_spans(
                     "text_clean": pa.array([], pa.string()),
                 }
             )
-        dup_sorted = ray.get(dup_ref)
-        flat, dlen, offs, gpos, _, gh = _token_grams(t[text_col], L)
+        dup_sorted, own_d, own_p = ray.get(dup_ref)
+        flat, dlen, offs, gpos, gdoc, gh = _token_grams(t[text_col], L)
         total = int(dlen.sum())
-        hit = gpos[np.isin(gh, dup_sorted)] if len(gh) else np.empty(0, np.int64)
+        if len(gh) and len(dup_sorted):
+            idx = np.searchsorted(dup_sorted, gh)
+            found = (idx < len(dup_sorted)) & (
+                dup_sorted[np.minimum(idx, len(dup_sorted) - 1)] == gh
+            )
+            if keep_first:
+                gi = idx[found]
+                did = t[id_col].to_numpy()[gdoc[found]]
+                ipos = gpos[found] - offs[gdoc[found]]
+                is_owner = (own_d[gi] == did) & (own_p[gi] == ipos)
+                hit = gpos[found][~is_owner]
+            else:
+                hit = gpos[found]
+        else:
+            hit = np.empty(0, np.int64)
         cover = np.zeros(total + L + 1, np.int64)
         np.add.at(cover, hit, 1)
         np.add.at(cover, hit + L, -1)

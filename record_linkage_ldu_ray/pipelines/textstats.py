@@ -68,6 +68,127 @@ def token_counts(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str =
     )
 
 
+def unigram_logprob_scores(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int | None = None,
+):
+    """Unigram-LM quality signal (the CCNet idea — Wenzek et al. 2019,
+    arXiv:1911.00359 — with the corpus's own unigram distribution standing
+    in for the external KenLM): per document, the mean natural-log
+    probability of its tokens under the global token frequency
+    distribution.  Low (very negative) scores flag rare-token noise; high
+    scores flag boilerplate-like text.
+
+    Two passes, raw tokens never shuffle:
+    1. Global token counts via two-level aggregation on 8-byte token
+       hashes — each batch emits one partial row per distinct hash, one
+       exchange keyed by hash, merge sums.  The merged vocab (sorted hash,
+       count) broadcasts once via ``ray.put`` — O(distinct tokens), tiny
+       vs the corpus (shard the broadcast by hash range at 100 TB if the
+       vocab outgrows worker heap).
+    2. One map pass: searchsorted hash→count lookup per token,
+       ``ln(count) − ln(N)`` summed per document with a vectorized
+       ``reduceat`` over the flat token stream (deterministic in-doc
+       order), mean over n_tokens, rounded 6dp.
+
+    Output: (``id_col``, n_tokens:int64, mean_token_logprob:float64).
+    """
+    import ray
+
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
+
+    n_parts = num_parts if num_parts is not None else default_num_parts()
+
+    def _flat_tokens(t: pa.Table):
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        s = pl.from_arrow(texts).fill_null("")
+        lists = s.str.split(" ")
+        dlen = lists.list.len().to_numpy().astype(np.int64)
+        return lists.explode(), dlen
+
+    def _vocab_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "th": pa.array([], pa.uint64()),
+                    "c": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int32()),
+                }
+            )
+        flat, _ = _flat_tokens(t)
+        th = fnv1a_hash_strings(flat.to_arrow())
+        uu, cnt = np.unique(th, return_counts=True)
+        return pa.table(
+            {
+                "th": pa.array(uu, pa.uint64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+                "part": pa.array((uu % np.uint64(n_parts)).astype(np.int32), pa.int32()),
+            }
+        )
+
+    def _vocab_merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        return df.group_by("th").agg(pl.col("c").sum()).to_arrow()
+
+    vocab_ds = partitioned_map(
+        ds.select_columns([id_col, text_col]).map_batches(
+            _vocab_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["part"],
+        n_parts,
+        _vocab_merge,
+    )
+    tables = [x for r in vocab_ds.to_arrow_refs() if len(x := ray.get(r))]
+    if tables:
+        cat = pa.concat_tables(tables)
+        th_all = cat["th"].to_numpy()
+        srt = np.argsort(th_all)
+        vh, vc = th_all[srt], cat["c"].to_numpy()[srt].astype(np.float64)
+    else:
+        vh, vc = np.empty(0, np.uint64), np.empty(0, np.float64)
+    n_total = float(vc.sum()) if len(vc) else 1.0
+    vocab_ref = ray.put((vh, np.log(vc) - np.log(n_total) if len(vc) else vc))
+
+    def _score(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "mean_token_logprob": pa.array([], pa.float64()),
+                }
+            )
+        vh_b, vlp_b = ray.get(vocab_ref)
+        flat, dlen = _flat_tokens(t)
+        th = fnv1a_hash_strings(flat.to_arrow())
+        total = int(dlen.sum())
+        offs = np.concatenate(([0], np.cumsum(dlen)))
+        lp = vlp_b[np.searchsorted(vh_b, th)] if total else np.empty(0, np.float64)
+        dsum = (
+            np.add.reduceat(lp, np.minimum(offs[:-1], total - 1))
+            if total
+            else np.zeros(n, np.float64)
+        )
+        dsum = np.where(dlen == 0, 0.0, dsum)
+        mean = round6(dsum / np.maximum(dlen, 1))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(dlen, pa.int64()),
+                "mean_token_logprob": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def quality_scores(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
     """Heuristic quality features: length, word stats, punctuation and
     stopword ratios (the usual pre-training filter signals).

@@ -434,3 +434,100 @@ class TestMaskDuplicateSpans:
         )
         assert out["n_dup_tokens"].tolist() == [9, 9]
         assert out["text_clean"].tolist() == ["x0 x1", "y0 y1"]
+
+    def test_keep_first_owner_unmasked(self, ray_session):
+        """keep_first=True: the global min (doc_id, pos) occurrence of each
+        duplicated gram survives; later occurrences are masked."""
+        import pandas as pd
+
+        from record_linkage_ldu_ray.pipelines.docdedup import mask_duplicate_spans
+
+        shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+        docs = pa.table(
+            {
+                "doc_id": pa.array([5, 2, 9], pa.int64()),
+                "text": pa.array(
+                    [
+                        f"a1 {shared} a2",  # doc 5: NOT the owner (2 < 5)
+                        f"b1 b2 {shared}",  # doc 2: min doc_id -> owner
+                        f"{shared} c1 c2",  # doc 9: masked
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+        out = (
+            mask_duplicate_spans(
+                ray.data.from_arrow(docs).repartition(3), L=8, min_df=2, keep_first=True
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = dict(zip(out["doc_id"], out["text_clean"]))
+        nd = dict(zip(out["doc_id"], out["n_dup_tokens"]))
+        assert got[2] == f"b1 b2 {shared}" and nd[2] == 0  # owner intact
+        assert got[5] == "a1 a2" and nd[5] == 8
+        assert got[9] == "c1 c2" and nd[9] == 8
+        # partition invariance of the distributed owner min
+        two = (
+            mask_duplicate_spans(
+                ray.data.from_arrow(docs).repartition(1),
+                L=8,
+                min_df=2,
+                keep_first=True,
+                num_parts=5,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, two)
+
+
+class TestUnigramLogprob:
+    def test_pandas_parity_and_partition_invariance(self, ray_session):
+        import math
+
+        import pandas as pd
+
+        from record_linkage_ldu_ray.functions.rounding import round6_scalar
+        from record_linkage_ldu_ray.pipelines.textstats import unigram_logprob_scores
+
+        rng = np.random.default_rng(3)
+        texts = [
+            " ".join(f"t{int(x)}" for x in rng.integers(0, 12, int(rng.integers(1, 30))))
+            for _ in range(80)
+        ]
+        docs = pa.table(
+            {
+                "doc_id": pa.array(list(range(80)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(docs).repartition(7)
+        a = (
+            unigram_logprob_scores(ds, num_parts=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            unigram_logprob_scores(ds, num_parts=16)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        # ground truth: global unigram distribution over the same corpus
+        from collections import Counter
+
+        cnt: Counter = Counter()
+        for s in texts:
+            cnt.update(s.split(" "))
+        N = sum(cnt.values())
+        for row in a.itertuples():
+            toks = texts[row.doc_id].split(" ")
+            exp = round6_scalar(sum(math.log(cnt[t] / N) for t in toks) / len(toks))
+            assert abs(row.mean_token_logprob - exp) < 2e-6, (row.doc_id, exp)
+        assert (a["mean_token_logprob"] < 0).all()
