@@ -583,6 +583,18 @@ def _q_unigram_logprob(sf_dir: str):
     )
 
 
+def _q_corpus_report(sf_dir: str):
+    """Per-source corpus triage card (volume, short-doc tail, exact-dup
+    rate) — two distributed reductions, O(#sources) driver merge."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.textstats import corpus_report
+
+    return corpus_report(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    )
+
+
 def _q_conversation_stats(sf_dir: str):
     """Per-conversation role/tool/turn-length profile over the synthetic
     transcript corpus (two-level partial aggregation)."""
@@ -1128,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_ivf": _q_semantic_dedup_ivf,
         "mask_duplicate_spans_keep_first": _q_mask_duplicate_spans_keep_first,
         "unigram_logprob": _q_unigram_logprob,
+        "corpus_report": _q_corpus_report,
         # -- relational / window variants (driver-green in r02) --
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
@@ -1592,6 +1605,22 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(clean.text_clean, '') AS text_clean
             FROM toks t LEFT JOIN nd USING (doc_id)
                         LEFT JOIN clean USING (doc_id)
+        """,
+        "corpus_report": """
+            WITH toks AS (SELECT source, text,
+                                 len(string_split(text, ' ')) AS nt
+                          FROM documents)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS total_tokens,
+                   round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS mean_tokens,
+                   CAST(max(nt) AS BIGINT) AS max_tokens,
+                   CAST(sum(CASE WHEN nt < 50 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_short_docs,
+                   CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_docs,
+                   round(CAST(count(*) - count(DISTINCT text) AS DOUBLE)
+                         / count(*), 6) AS dup_frac
+            FROM toks GROUP BY source
         """,
         "unigram_logprob": """
             WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w

@@ -189,6 +189,140 @@ def unigram_logprob_scores(
     )
 
 
+def corpus_report(
+    ds: "ray.data.Dataset",
+    short_tokens: int = 50,
+    source_col: str = "source",
+    text_col: str = "text",
+    num_parts: int | None = None,
+):
+    """Per-source corpus triage card — the one-page summary a curation run
+    prints before deciding filters (doc/token volume, short-doc tail,
+    exact-duplicate rate per source; reference analog: main_ldu_ldu.py's
+    group-length stats, aggregated per corpus slice instead of per match
+    group).
+
+    Two independent distributed reductions, merged driver-side over
+    O(#sources) rows:
+    - metrics: each batch combines to ≤ #sources partial rows (vectorized
+      polars group_by) — counts, token sums/max, short-doc tally;
+    - dup rate: distinct-text counting via one hash exchange keyed by the
+      8-byte text hash (the ``exact_dedup`` exchange shape) — each
+      partition emits ≤ #sources rows of distinct-hash counts.
+    Raw text never shuffles; driver state never exceeds
+    O(#sources × #partitions).
+
+    Output: (source, n_docs:int64, total_tokens:int64,
+    mean_tokens:float64 6dp, max_tokens:int64, n_short_docs:int64,
+    n_dup_docs:int64, dup_frac:float64 6dp), one row per source.
+    """
+    import pyarrow.compute as pc
+
+    import ray
+
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
+
+    n_parts = num_parts if num_parts is not None else default_num_parts()
+    src = ds.select_columns([source_col, text_col])
+
+    def _metric_partial(t: pa.Table) -> pa.Table:
+        nt = pc.cast(pc.add(pc.count_substring(pc.fill_null(t[text_col], ""), " "), 1), pa.int64())
+        df = pl.from_arrow(
+            pa.table({"source": t[source_col], "nt": nt})
+        )
+        return (
+            df.group_by("source")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("nt").sum().alias("total_tokens"),
+                pl.col("nt").max().alias("max_tokens"),
+                (pl.col("nt") < short_tokens).sum().cast(pl.Int64).alias("n_short_docs"),
+            )
+            .to_arrow()
+        )
+
+    def _dup_partial(t: pa.Table) -> pa.Table:
+        h = fnv1a_hash_strings(pc.fill_null(t[text_col], ""))
+        df = (
+            pl.DataFrame(
+                {"source": pl.from_arrow(t[source_col]), "h": h}
+            )
+            .unique(["source", "h"])
+            .with_columns((pl.col("h") % n_parts).cast(pl.Int32).alias("part"))
+        )
+        return df.to_arrow()
+
+    def _dup_merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        return (
+            df.unique(["source", "h"])
+            .group_by("source")
+            .agg(pl.len().cast(pl.Int64).alias("n_distinct"))
+            .to_arrow()
+        )
+
+    metric_ds = src.map_batches(_metric_partial, batch_format="pyarrow", zero_copy_batch=True)
+    dup_ds = partitioned_map(
+        src.map_batches(_dup_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["part"],
+        n_parts,
+        _dup_merge,
+    )
+    mt = [x for r in metric_ds.to_arrow_refs() if len(x := ray.get(r))]
+    dt = [x for r in dup_ds.to_arrow_refs() if len(x := ray.get(r))]
+    if not mt:
+        return pa.table(
+            {
+                "source": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+                "total_tokens": pa.array([], pa.int64()),
+                "mean_tokens": pa.array([], pa.float64()),
+                "max_tokens": pa.array([], pa.int64()),
+                "n_short_docs": pa.array([], pa.int64()),
+                "n_dup_docs": pa.array([], pa.int64()),
+                "dup_frac": pa.array([], pa.float64()),
+            }
+        )
+    m = (
+        pl.from_arrow(pa.concat_tables(mt))
+        .group_by("source")
+        .agg(
+            pl.col("n_docs").sum(),
+            pl.col("total_tokens").sum(),
+            pl.col("max_tokens").max(),
+            pl.col("n_short_docs").sum(),
+        )
+    )
+    d = (
+        pl.from_arrow(pa.concat_tables(dt))
+        .group_by("source")
+        .agg(pl.col("n_distinct").sum())
+    )
+    out = m.join(d, on="source", how="left").with_columns(
+        pl.col("n_distinct").fill_null(0)
+    )
+    res = out.to_arrow()
+    n_docs = res["n_docs"].to_numpy()
+    total = res["total_tokens"].to_numpy()
+    n_dup = n_docs - res["n_distinct"].to_numpy()
+    return pa.table(
+        {
+            "source": res["source"],
+            "n_docs": res["n_docs"],
+            "total_tokens": res["total_tokens"],
+            "mean_tokens": pa.array(
+                round6(total / np.maximum(n_docs, 1)), pa.float64()
+            ),
+            "max_tokens": res["max_tokens"],
+            "n_short_docs": res["n_short_docs"],
+            "n_dup_docs": pa.array(n_dup.astype(np.int64), pa.int64()),
+            "dup_frac": pa.array(
+                round6(n_dup / np.maximum(n_docs, 1)), pa.float64()
+            ),
+        }
+    )
+
+
 def quality_scores(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: str = "text"):
     """Heuristic quality features: length, word stats, punctuation and
     stopword ratios (the usual pre-training filter signals).

@@ -1010,3 +1010,53 @@ class TestConversationStats:
         for c in ["n_turns", "n_user", "n_assistant", "n_tool"]:
             exp[c] = exp[c].astype("int64")
         pd.testing.assert_frame_equal(a, exp[cols])
+
+
+class TestCorpusReport:
+    def test_planted_dups_and_partition_invariance(self, ray_session):
+        """Per-source card: counts/token stats exact vs pandas, exact-dup
+        counting correct with planted duplicate texts straddling batches."""
+        import pandas as pd
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.textstats import corpus_report
+
+        rows = []
+        for i in range(40):
+            rows.append(("src_a", f"alpha doc {i} body " + "w " * (i % 7)))
+        for i in range(30):
+            # 10 distinct texts, each repeated 3x -> 20 dup docs in src_b
+            rows.append(("src_b", f"beta dup text number {i % 10}"))
+        rows.append(("src_c", "solo"))
+        t = pa.table(
+            {
+                "source": pa.array([r[0] for r in rows], pa.string()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(6)
+        cols = [
+            "source", "n_docs", "total_tokens", "mean_tokens", "max_tokens",
+            "n_short_docs", "n_dup_docs", "dup_frac",
+        ]
+        a = corpus_report(ds, short_tokens=6, num_parts=3).to_pandas()[cols]
+        a = a.sort_values("source").reset_index(drop=True)
+        b = corpus_report(ds, short_tokens=6, num_parts=16).to_pandas()[cols]
+        b = b.sort_values("source").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+        row_b = a[a.source == "src_b"].iloc[0]
+        assert row_b.n_docs == 30 and row_b.n_dup_docs == 20
+        assert abs(row_b.dup_frac - round(20 / 30, 6)) < 1e-9
+        row_c = a[a.source == "src_c"].iloc[0]
+        assert row_c.n_docs == 1 and row_c.n_dup_docs == 0 and row_c.max_tokens == 1
+        df = pd.DataFrame(rows, columns=["source", "text"])
+        df["nt"] = df.text.str.count(" ") + 1
+        exp = df.groupby("source").agg(
+            n_docs=("text", "size"), total_tokens=("nt", "sum"), max_tokens=("nt", "max")
+        )
+        for s in exp.index:
+            r = a[a.source == s].iloc[0]
+            assert r.n_docs == exp.loc[s, "n_docs"]
+            assert r.total_tokens == exp.loc[s, "total_tokens"]
+            assert r.max_tokens == exp.loc[s, "max_tokens"]
