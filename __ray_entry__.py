@@ -583,6 +583,18 @@ def _q_unigram_logprob(sf_dir: str):
     )
 
 
+def _q_embedding_neighbor_stats(sf_dir: str):
+    """Per-vector in-block neighborhood density (cos >= 0.4): the
+    isolated-vector / noise signal complementing semantic dedup."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import embedding_neighbor_stats
+
+    return embedding_neighbor_stats(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), tau=0.4
+    )
+
+
 def _q_corpus_report(sf_dir: str):
     """Per-source corpus triage card (volume, short-doc tail, exact-dup
     rate) — two distributed reductions, O(#sources) driver merge."""
@@ -1141,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mask_duplicate_spans_keep_first": _q_mask_duplicate_spans_keep_first,
         "unigram_logprob": _q_unigram_logprob,
         "corpus_report": _q_corpus_report,
+        "embedding_neighbor_stats": _q_embedding_neighbor_stats,
         # -- relational / window variants (driver-green in r02) --
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
@@ -1605,6 +1618,25 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(clean.text_clean, '') AS text_clean
             FROM toks t LEFT JOIN nd USING (doc_id)
                         LEFT JOIN clean USING (doc_id)
+        """,
+        "embedding_neighbor_stats": """
+            WITH p AS (
+              SELECT a.vec_id AS va, b.vec_id AS vb,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])),
+                           6) AS cs
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.4),
+            ed AS (SELECT va AS v, cs FROM p UNION ALL SELECT vb, cs FROM p),
+            agg AS (SELECT v, CAST(count(*) AS BIGINT) AS n, max(cs) AS mx
+                    FROM ed GROUP BY v)
+            SELECT e.vec_id,
+                   CAST(coalesce(agg.n, 0) AS BIGINT) AS n_neighbors,
+                   agg.mx AS max_sim,
+                   coalesce(agg.n, 0) = 0 AS is_isolated
+            FROM embeddings e LEFT JOIN agg ON e.vec_id = agg.v
         """,
         "corpus_report": """
             WITH toks AS (SELECT source, text,

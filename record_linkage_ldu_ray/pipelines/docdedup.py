@@ -979,6 +979,99 @@ def semantic_dedup(
     return dedup_by_pairs(ds, pairs, id_col=id_col)
 
 
+def embedding_neighbor_stats(
+    ds: "ray.data.Dataset",
+    tau: float = 0.4,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_parts: int | None = None,
+):
+    """Per-vector neighborhood density within embedding blocks — the
+    outlier-pruning complement of :func:`semantic_dedup` (SemDeDup prunes
+    dense redundancy; density stats flag ISOLATED vectors, the
+    CLIP-filtering-style noise signal): for each vector, how many
+    same-block neighbors sit at cosine ≥ tau and the best neighbor
+    similarity.
+
+    Pairs come from :func:`embedding_dup_pairs` (blocked dense cosine);
+    per-vector counts are a two-level aggregation over the pair edge list
+    (each batch combines to ≤ 2·pairs partial rows, one exchange keyed by
+    vec id), and the universe rides the SAME exchange as zero-count rows
+    so isolated vectors appear with n_neighbors = 0 — no driver-side join.
+
+    Output: (``id_col``:int64, n_neighbors:int64, max_sim:float64 |
+    null for isolated vectors, is_isolated:bool), one row per vector.
+    """
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
+
+    n_parts = num_parts if num_parts is not None else default_num_parts()
+    pairs = embedding_dup_pairs(
+        ds,
+        tau=tau,
+        block_col=block_col,
+        id_col=id_col,
+        vec_col=vec_col,
+        num_parts=num_parts,
+    )
+
+    def _edge_partial(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [t[f"{id_col}_a"].to_numpy(), t[f"{id_col}_b"].to_numpy()]
+        ).astype(np.int64)
+        cs = np.concatenate([t["cos_sim"].to_numpy()] * 2)
+        from record_linkage_ldu_ray.functions.hashing import splitmix64
+
+        df = (
+            pl.DataFrame({"v": v, "cs": cs})
+            .group_by("v")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("cs").max().alias("mx"),
+            )
+        )
+        part = (
+            splitmix64(df["v"].to_numpy().astype(np.uint64)) % np.uint64(n_parts)
+        ).astype(np.int32)
+        return df.with_columns(pl.Series("part", part, pl.Int32)).to_arrow()
+
+    def _universe(t: pa.Table) -> pa.Table:
+        from record_linkage_ldu_ray.functions.hashing import splitmix64
+
+        v = t[id_col].to_numpy().astype(np.int64)
+        part = (splitmix64(v.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int32)
+        df = pl.DataFrame({"v": v}).with_columns(
+            pl.lit(0, pl.Int64).alias("n"),
+            pl.lit(None, pl.Float64).alias("mx"),
+            pl.Series("part", part, pl.Int32),
+        )
+        return df.to_arrow()
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        out = (
+            df.group_by("v")
+            .agg(pl.col("n").sum(), pl.col("mx").max())
+            .with_columns((pl.col("n") == 0).alias("is_isolated"))
+        )
+        return pa.table(
+            {
+                id_col: out["v"].to_arrow().cast(pa.int64()),
+                "n_neighbors": out["n"].to_arrow(),
+                "max_sim": out["mx"].to_arrow().cast(pa.float64()),
+                "is_isolated": out["is_isolated"].to_arrow(),
+            }
+        )
+
+    edges = pairs.map_batches(
+        _edge_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    uni = ds.select_columns([id_col]).map_batches(
+        _universe, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partitioned_map(edges.union(uni), ["part"], n_parts, _merge)
+
+
 # ---------------------------------------------------------------------------
 # duplicated-span masking: Lee et al. 2021 (arXiv:2107.06499) substring
 # dedup, approximated at the token-n-gram level

@@ -531,3 +531,51 @@ class TestUnigramLogprob:
             exp = round6_scalar(sum(math.log(cnt[t] / N) for t in toks) / len(toks))
             assert abs(row.mean_token_logprob - exp) < 2e-6, (row.doc_id, exp)
         assert (a["mean_token_logprob"] < 0).all()
+
+
+class TestEmbeddingNeighborStats:
+    def test_density_counts_and_isolated_flags(self, ray_session):
+        import pandas as pd
+
+        from record_linkage_ldu_ray.pipelines.docdedup import embedding_neighbor_stats
+
+        rng = np.random.default_rng(5)
+        dim, tau = 8, 0.9
+        vecs, labels, vids = [], [], []
+        center = rng.normal(size=dim)
+        for i in range(4):  # tight family of 4 in label 0 -> 3 neighbors each
+            vecs.append(center + rng.normal(scale=0.002, size=dim))
+            labels.append(0)
+            vids.append(10 + i)
+        for i in range(6):  # isolated scatter in label 0 and 1
+            vecs.append(rng.normal(size=dim))
+            labels.append(i % 2)
+            vids.append(100 + i)
+        t = pa.table(
+            {
+                "vec_id": pa.array(vids, pa.int64()),
+                "label": pa.array(labels, pa.int32()),
+                "embedding": pa.array([[float(x) for x in v] for v in vecs]),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+        out = (
+            embedding_neighbor_stats(ds, tau=tau)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(vids)
+        fam = out[out.vec_id < 100]
+        assert (fam.n_neighbors == 3).all() and (~fam.is_isolated).all()
+        assert (fam.max_sim > 0.99).all()
+        iso = out[out.vec_id >= 100]
+        assert (iso.n_neighbors == 0).all() and iso.is_isolated.all()
+        assert iso.max_sim.isna().all()
+        two = (
+            embedding_neighbor_stats(ds, tau=tau, num_parts=5)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, two)
