@@ -595,6 +595,17 @@ def _q_embedding_neighbor_stats(sf_dir: str):
     )
 
 
+def _q_role_transitions(sf_dir: str):
+    """Role bigram matrix over the synthetic transcripts (conv-keyed
+    exchange, within-conv shift, tiny driver merge)."""
+    from record_linkage_ldu_ray.pipelines.relational import (
+        role_transition_counts,
+        transcripts_from_documents,
+    )
+
+    return role_transition_counts(transcripts_from_documents(sf_dir))
+
+
 def _q_corpus_report(sf_dir: str):
     """Per-source corpus triage card (volume, short-doc tail, exact-dup
     rate) — two distributed reductions, O(#sources) driver merge."""
@@ -1154,6 +1165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "corpus_report": _q_corpus_report,
         "embedding_neighbor_stats": _q_embedding_neighbor_stats,
+        "role_transitions": _q_role_transitions,
         # -- relational / window variants (driver-green in r02) --
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
@@ -1618,6 +1630,16 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(clean.text_clean, '') AS text_clean
             FROM toks t LEFT JOIN nd USING (doc_id)
                         LEFT JOIN clean USING (doc_id)
+        """,
+        "role_transitions": f"""
+            WITH tsyn AS ({_TSYN_SQL}),
+            lagged AS (SELECT conv_id, role,
+                              lag(role) OVER (PARTITION BY conv_id
+                                              ORDER BY turn_idx) AS role_from
+                       FROM tsyn)
+            SELECT role_from, role AS role_to, CAST(count(*) AS BIGINT) AS n
+            FROM lagged WHERE role_from IS NOT NULL
+            GROUP BY role_from, role
         """,
         "embedding_neighbor_stats": """
             WITH p AS (

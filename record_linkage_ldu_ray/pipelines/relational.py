@@ -763,6 +763,65 @@ def conversation_stats(ts: "ray.data.Dataset", num_parts: int = 32):
     )
 
 
+def role_transition_counts(ts: "ray.data.Dataset", num_parts: int = 32):
+    """Corpus-wide role-transition bigram matrix over the transcript table
+    (conv_id, turn_idx, role): how often each speaker role follows each
+    other within a conversation — the event_transitions pattern
+    (lag/shift per key) applied to the BASELINE.json input_hint payload.
+
+    One hash exchange keyed by conv_id (turns of a conversation co-locate),
+    per-partition vectorized sort + within-conv shift, then ≤ |roles|²
+    partial rows per partition merged driver-side — driver state is
+    O(roles² × partitions), never O(turns).
+
+    Output: (role_from, role_to, n:int64), no cross-conversation edges.
+    """
+    def _part(t: pa.Table) -> pa.Table:
+        h = fnv1a_hash_strings(t["conv_id"])
+        return t.append_column(
+            "part", pa.array((h % np.uint64(num_parts)).astype(np.int32), pa.int32())
+        )
+
+    def _count(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        return (
+            df.sort(["conv_id", "turn_idx"])
+            .with_columns(pl.col("role").shift(1).over("conv_id").alias("role_from"))
+            .drop_nulls("role_from")
+            .rename({"role": "role_to"})
+            .group_by(["role_from", "role_to"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .select(["role_from", "role_to", "n"])
+            .to_arrow()
+        )
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    parts = partitioned_map(
+        ts.select_columns(["conv_id", "turn_idx", "role"]).map_batches(
+            _part, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["part"],
+        num_parts,
+        _count,
+    )
+    tables = [x for r in parts.to_arrow_refs() if len(x := ray.get(r))]
+    if not tables:
+        return pa.table(
+            {
+                "role_from": pa.array([], pa.string()),
+                "role_to": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+    return (
+        pl.from_arrow(pa.concat_tables(tables))
+        .group_by(["role_from", "role_to"])
+        .agg(pl.col("n").sum())
+        .to_arrow()
+    )
+
+
 # ---------------------------------------------------------------------------
 # global window functions: ROW_NUMBER / NTILE over a full sort
 

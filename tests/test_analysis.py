@@ -1060,3 +1060,51 @@ class TestCorpusReport:
             assert r.n_docs == exp.loc[s, "n_docs"]
             assert r.total_tokens == exp.loc[s, "total_tokens"]
             assert r.max_tokens == exp.loc[s, "max_tokens"]
+
+
+class TestRoleTransitions:
+    def test_no_cross_conv_edges_and_exact_counts(self, ray_session):
+        """Within-conv bigrams only: counts match a pandas shift ground
+        truth, and the first turn of each conversation contributes no edge."""
+        import pandas as pd
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.relational import role_transition_counts
+
+        rows = []
+        rng = np.random.default_rng(13)
+        roles = ["user", "assistant", "tool"]
+        for c in range(25):
+            for t in range(int(rng.integers(1, 9))):
+                rows.append((f"c{c:02d}", t, roles[int(rng.integers(0, 3))]))
+        t = pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+        # repartition(8): conversations straddle blocks; the conv-keyed
+        # exchange must reunite them before the shift
+        out = (
+            role_transition_counts(ray.data.from_arrow(t).repartition(8), num_parts=5)
+            .to_pandas()
+            .sort_values(["role_from", "role_to"])
+            .reset_index(drop=True)
+        )
+        df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role"])
+        df = df.sort_values(["conv_id", "turn_idx"])
+        df["role_from"] = df.groupby("conv_id")["role"].shift(1)
+        exp = (
+            df.dropna(subset=["role_from"])
+            .groupby(["role_from", "role"], as_index=False)
+            .size()
+            .rename(columns={"role": "role_to", "size": "n"})
+            .sort_values(["role_from", "role_to"])
+            .reset_index(drop=True)
+        )
+        exp["n"] = exp["n"].astype("int64")
+        pd.testing.assert_frame_equal(
+            out[["role_from", "role_to", "n"]], exp[["role_from", "role_to", "n"]]
+        )
+        assert int(out["n"].sum()) == len(df) - df["conv_id"].nunique()
