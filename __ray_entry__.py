@@ -606,6 +606,28 @@ def _q_role_transitions(sf_dir: str):
     return role_transition_counts(transcripts_from_documents(sf_dir))
 
 
+def _q_dedup_increment(sf_dir: str):
+    """Incremental corpus dedup: docs with doc_id % 5 == 0 arrive as the
+    new batch, the rest are the standing corpus; per new doc emit match
+    count, best corpus match and the keep decision."""
+    import pyarrow as _pa
+
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import dedup_increment
+
+    def _tag(t):
+        import numpy as _np
+
+        flag = (t["doc_id"].to_numpy() % 5 == 0).astype(_np.int8)
+        return t.append_column("is_new", _pa.array(flag, _pa.int8()))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(_tag, batch_format="pyarrow", zero_copy_batch=True)
+    return dedup_increment(ds, tau=0.3)
+
+
 def _q_corpus_report(sf_dir: str):
     """Per-source corpus triage card (volume, short-doc tail, exact-dup
     rate) — two distributed reductions, O(#sources) driver merge."""
@@ -1166,6 +1188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": _q_corpus_report,
         "embedding_neighbor_stats": _q_embedding_neighbor_stats,
         "role_transitions": _q_role_transitions,
+        "dedup_increment": _q_dedup_increment,
         # -- relational / window variants (driver-green in r02) --
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
@@ -1630,6 +1653,36 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(clean.text_clean, '') AS text_clean
             FROM toks t LEFT JOIN nd USING (doc_id)
                         LEFT JOIN clean USING (doc_id)
+        """,
+        "dedup_increment": f"""
+            WITH toks AS (
+              SELECT doc_id, source, list_distinct({_WS_WORDS}) AS w,
+                     doc_id % 5 = 0 AS isnew
+              FROM documents),
+            p AS (
+              SELECT c.doc_id AS cid, n.doc_id AS nid,
+                     CAST(len(list_intersect(c.w, n.w)) AS DOUBLE)
+                       / (len(c.w) + len(n.w)
+                          - len(list_intersect(c.w, n.w))) AS j
+              FROM toks c JOIN toks n
+                ON c.source = n.source AND NOT c.isnew AND n.isnew
+              WHERE len(c.w) + len(n.w) > 0),
+            hits AS (SELECT cid, nid, round(j, 6) AS j6
+                     FROM p WHERE j >= 0.3),
+            best AS (SELECT nid, cid, j6,
+                            count(*) OVER (PARTITION BY nid) AS n,
+                            row_number() OVER (PARTITION BY nid
+                                               ORDER BY j6 DESC, cid ASC)
+                              AS rn
+                     FROM hits)
+            SELECT t.doc_id,
+                   CAST(coalesce(b.n, 0) AS BIGINT) AS n_corpus_matches,
+                   b.cid AS best_match_id,
+                   b.j6 AS best_jaccard,
+                   coalesce(b.n, 0) = 0 AS keep
+            FROM toks t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              ON t.doc_id = b.nid
+            WHERE t.isnew
         """,
         "role_transitions": f"""
             WITH tsyn AS ({_TSYN_SQL}),

@@ -979,6 +979,109 @@ def semantic_dedup(
     return dedup_by_pairs(ds, pairs, id_col=id_col)
 
 
+def dedup_increment(
+    ds: "ray.data.Dataset",
+    side_col: str = "is_new",
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.5,
+    num_parts: int | None = None,
+):
+    """Incremental corpus dedup — the continuously-growing-corpus pattern
+    (the document analog of ``pipelines/linkage.link_increment``): given an
+    existing corpus (``side_col`` = 0) and a new batch (``side_col`` = 1)
+    in ONE dataset, decide per new document whether it duplicates the
+    corpus, and against which document.
+
+    Candidate pairs come from :func:`jaccard_dup_pairs` in bipartite mode
+    (corpus record always ``*_a``); per new document the match count and
+    the best match (max Jaccard, ties to the smallest corpus id) are a
+    two-level aggregation over the pair list, with the new-doc universe
+    riding the same keyed exchange as zero-count rows.
+
+    Output: (``id_col``:int64 — new docs only, n_corpus_matches:int64,
+    best_match_id:int64|null, best_jaccard:float64|null, keep:bool).
+    """
+    from record_linkage_ldu_ray.functions.hashing import splitmix64
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
+
+    n_parts = num_parts if num_parts is not None else default_num_parts()
+    pairs = jaccard_dup_pairs(
+        ds,
+        block_col=block_col,
+        id_col=id_col,
+        text_col=text_col,
+        tau=tau,
+        side_col=side_col,
+        num_parts=num_parts,
+    )
+
+    def _pair_partial(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .rename({f"{id_col}_a": "cid", f"{id_col}_b": "nid", "jaccard": "j"})
+            .sort(["nid", "j", "cid"], descending=[False, True, False])
+        )
+        out = (
+            df.group_by("nid", maintain_order=True)
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("cid").first().alias("best_id"),
+                pl.col("j").first().alias("best_j"),
+            )
+        )
+        part = (
+            splitmix64(out["nid"].to_numpy().astype(np.uint64)) % np.uint64(n_parts)
+        ).astype(np.int32)
+        return out.with_columns(pl.Series("part", part, pl.Int32)).to_arrow()
+
+    def _universe(t: pa.Table) -> pa.Table:
+        keep = pl.from_arrow(t).filter(pl.col(side_col) == 1)
+        v = keep[id_col].to_numpy().astype(np.int64)
+        part = (splitmix64(v.astype(np.uint64)) % np.uint64(n_parts)).astype(np.int32)
+        return (
+            pl.DataFrame({"nid": v})
+            .with_columns(
+                pl.lit(0, pl.Int64).alias("n"),
+                pl.lit(None, pl.Int64).alias("best_id"),
+                pl.lit(None, pl.Float64).alias("best_j"),
+                pl.Series("part", part, pl.Int32),
+            )
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .sort(["nid", "best_j", "best_id"], descending=[False, True, False], nulls_last=True)
+        )
+        out = (
+            df.group_by("nid", maintain_order=True)
+            .agg(
+                pl.col("n").sum(),
+                pl.col("best_id").first(),
+                pl.col("best_j").first(),
+            )
+            .with_columns((pl.col("n") == 0).alias("keep"))
+        )
+        return pa.table(
+            {
+                id_col: out["nid"].to_arrow().cast(pa.int64()),
+                "n_corpus_matches": out["n"].to_arrow(),
+                "best_match_id": out["best_id"].to_arrow().cast(pa.int64()),
+                "best_jaccard": out["best_j"].to_arrow().cast(pa.float64()),
+                "keep": out["keep"].to_arrow(),
+            }
+        )
+
+    edges = pairs.map_batches(_pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+    uni = ds.select_columns([id_col, side_col]).map_batches(
+        _universe, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partitioned_map(edges.union(uni), ["part"], n_parts, _merge)
+
+
 def embedding_neighbor_stats(
     ds: "ray.data.Dataset",
     tau: float = 0.4,

@@ -579,3 +579,55 @@ class TestEmbeddingNeighborStats:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(out, two)
+
+
+class TestDedupIncrement:
+    def test_matches_ties_and_partition_invariance(self, ray_session):
+        import pandas as pd
+
+        from record_linkage_ldu_ray.pipelines.docdedup import dedup_increment
+
+        docs = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 10, 11, 12], pa.int64()),
+                "source": pa.array(["s"] * 6, pa.string()),
+                "text": pa.array(
+                    [
+                        "alpha beta gamma delta",      # corpus 1
+                        "alpha beta gamma epsilon",    # corpus 2: same sim to 10 as 1
+                        "zeta eta theta iota",         # corpus 3
+                        "alpha beta gamma",            # new 10: ties corpus 1 vs 2 -> best=1
+                        "zeta eta theta iota",         # new 11: exact dup of 3
+                        "unique solo words here",      # new 12: keep
+                    ],
+                    pa.string(),
+                ),
+                "is_new": pa.array([0, 0, 0, 1, 1, 1], pa.int8()),
+            }
+        )
+        ds = ray.data.from_arrow(docs).repartition(4)
+        out = (
+            dedup_increment(ds, tau=0.5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == [10, 11, 12]
+        r10 = out.iloc[0]
+        # jaccard(10, 1) == jaccard(10, 2) == 3/4 -> tie broken to min cid 1
+        assert r10.n_corpus_matches == 2 and r10.best_match_id == 1
+        assert abs(r10.best_jaccard - 0.75) < 1e-9 and not r10.keep
+        r11 = out.iloc[1]
+        assert r11.n_corpus_matches == 1 and r11.best_match_id == 3
+        assert r11.best_jaccard == 1.0 and not r11.keep
+        r12 = out.iloc[2]
+        assert r12.n_corpus_matches == 0 and r12.keep
+        assert pd.isna(r12.best_match_id) and pd.isna(r12.best_jaccard)
+
+        two = (
+            dedup_increment(ds, tau=0.5, num_parts=7)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, two)
