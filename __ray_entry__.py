@@ -628,6 +628,73 @@ def _q_dedup_increment(sf_dir: str):
     return dedup_increment(ds, tau=0.3)
 
 
+def _q_snm_pair_scores(sf_dir: str):
+    """Sorted-neighborhood blocking (window 4 over the text-prefix sort
+    key) + per-pair multi-kernel similarity breakdown: integer Levenshtein
+    distance, DuckDB-parity Jaro-Winkler, exact trigram-set overlap sizes.
+    The string kernels themselves are the oracle-checked surface here —
+    DuckDB computes levenshtein()/jaro_winkler_similarity() on its side."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    import ray.data
+
+    from record_linkage_ldu_ray.functions.rounding import round6
+    from record_linkage_ldu_ray.functions.sim import (
+        jaro_winkler_batch_arrow,
+        levenshtein_distance_batch_arrow,
+        packed_trigram_sets,
+        pad_codes_arrow,
+        set_overlap_u64_batch,
+    )
+    from record_linkage_ldu_ray.stages.snm import sorted_neighborhood_pairs
+
+    def _prep(t: _pa.Table) -> _pa.Table:
+        return _pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "k": _pc.utf8_slice_codeunits(t["text"], 0, 24),
+                "f": _pc.utf8_slice_codeunits(t["text"], 0, 32),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = sorted_neighborhood_pairs(ds, "k", "doc_id", payload_col="f", window=4)
+
+    def _score(t: _pa.Table) -> _pa.Table:
+        fa = t["f_a"].combine_chunks()
+        fb = t["f_b"].combine_chunks()
+        lev = levenshtein_distance_batch_arrow(fa, fb)
+        jw = jaro_winkler_batch_arrow(
+            fa,
+            fb,
+            boost_threshold=0.7,
+            empty_empty=0.0,
+            out_dtype=np.float64,
+            clamp_window=True,
+        )
+        A, la = pad_codes_arrow(fa, 32)
+        B, lb = pad_codes_arrow(fb, 32)
+        va, oa = packed_trigram_sets(A, la)
+        vb, ob = packed_trigram_sets(B, lb)
+        inter, union = set_overlap_u64_batch(va, oa, vb, ob)
+        return _pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "lev_dist": _pa.array(lev, _pa.int64()),
+                "jw_sim": _pa.array(round6(jw), _pa.float64()),
+                "tri_inter": _pa.array(inter, _pa.int64()),
+                "tri_union": _pa.array(union, _pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_corpus_report(sf_dir: str):
     """Per-source corpus triage card (volume, short-doc tail, exact-dup
     rate) — two distributed reductions, O(#sources) driver merge."""
@@ -1149,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_documents": _q_curate_documents,
         "decontaminate_ngrams": _q_decontaminate_ngrams,
         "cross_source_overlap": _q_cross_source_overlap,
+        "dedup_increment": _q_dedup_increment,
         # -- similarity search --
         "ann_topk": _q_ann_topk,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1170,16 +1238,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- sampling / splits --
         "hash_split": _q_hash_split,
         "stratified_hash_sample": _q_stratified_hash_sample,
-        "source_length_quantiles": _q_source_length_quantiles,
+        "snm_pair_scores": _q_snm_pair_scores,
         # -- multimodal plumbing --
         "payload_metadata": _q_payload_metadata,
-        "image_resize_stub": _q_image_resize_stub,
         # ======== driver 50-entry window boundary (entries above have
         # priority for CORRECTNESS_rN.json rows) ========
         # -- multimodal stubs past the window (driver-green/judge-green
         # in r02; displaced by semantic_dedup, mask_duplicate_spans and
         # conversation_stats) --
+        "image_resize_stub": _q_image_resize_stub,
         "audio_features_stub": _q_audio_features_stub,
+        "source_length_quantiles": _q_source_length_quantiles,
         "video_frame_sample_stub": _q_video_frame_sample_stub,
         "image_features_stub": _q_image_features_stub,
         "semantic_dedup_ivf": _q_semantic_dedup_ivf,
@@ -1188,7 +1257,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": _q_corpus_report,
         "embedding_neighbor_stats": _q_embedding_neighbor_stats,
         "role_transitions": _q_role_transitions,
-        "dedup_increment": _q_dedup_increment,
         # -- relational / window variants (driver-green in r02) --
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_by_segment": _q_orders_by_segment,
@@ -1683,6 +1751,31 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
               ON t.doc_id = b.nid
             WHERE t.isnew
+        """,
+        "snm_pair_scores": """
+            WITH r AS (SELECT doc_id, substr(text, 1, 24) AS k,
+                              substr(text, 1, 32) AS f
+                       FROM documents),
+            o AS (SELECT doc_id, f,
+                         row_number() OVER (ORDER BY k, doc_id) AS rn
+                  FROM r),
+            p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         a.f AS fa, b.f AS fb
+                  FROM o a JOIN o b
+                    ON b.rn > a.rn AND b.rn <= a.rn + 3),
+            tg AS (SELECT id_a, id_b, fa, fb,
+                          list_distinct(list_transform(range(1, len(fa) - 1),
+                                        i -> substr(fa, i, 3))) AS ta,
+                          list_distinct(list_transform(range(1, len(fb) - 1),
+                                        i -> substr(fb, i, 3))) AS tb
+                   FROM p)
+            SELECT id_a, id_b,
+                   CAST(levenshtein(fa, fb) AS BIGINT) AS lev_dist,
+                   round(jaro_winkler_similarity(fa, fb), 6) AS jw_sim,
+                   CAST(len(list_intersect(ta, tb)) AS BIGINT) AS tri_inter,
+                   CAST(len(ta) + len(tb) - len(list_intersect(ta, tb))
+                        AS BIGINT) AS tri_union
+            FROM tg
         """,
         "role_transitions": f"""
             WITH tsyn AS ({_TSYN_SQL}),

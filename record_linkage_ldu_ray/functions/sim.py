@@ -81,11 +81,23 @@ def jaro(s1: str, s2: str) -> float:
     return (m / n1 + m / n2 + (m - t) / m) / 3.0
 
 
-def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1, max_prefix: int = 4) -> float:
-    """Jaro-Winkler in [0, 1] (prefix boost over plain Jaro)."""
+def jaro_winkler(
+    s1: str,
+    s2: str,
+    prefix_weight: float = 0.1,
+    max_prefix: int = 4,
+    boost_threshold: float = 0.0,
+) -> float:
+    """Jaro-Winkler in [0, 1] (prefix boost over plain Jaro).
+
+    ``boost_threshold``: apply the Winkler prefix boost only when the plain
+    Jaro similarity exceeds it.  The engine default (0.0) boosts every
+    nonzero Jaro, matching the reference's textdistance behavior; 0.7 is
+    the classic Winkler constant and what DuckDB's
+    ``jaro_winkler_similarity`` uses (the SQL-oracle-parity mode)."""
     j = jaro(s1, s2)
-    if j == 0.0:
-        return 0.0
+    if j <= boost_threshold:
+        return j
     ell = 0
     for c1, c2 in zip(s1[:max_prefix], s2[:max_prefix]):
         if c1 != c2:
@@ -190,17 +202,38 @@ def jaro_winkler_batch_arrow(
     max_len: int = 64,
     prefix_weight: float = 0.1,
     max_prefix: int = 4,
+    boost_threshold: float = 0.0,
+    empty_empty: float = 1.0,
+    out_dtype=np.float32,
+    clamp_window: bool = False,
 ) -> np.ndarray:
     """``jaro_winkler_batch`` fed directly from Arrow string arrays — the
     padded code matrices come from Arrow buffers (``pad_codes_arrow``), so
-    the scorer's hot path never materializes Python strings."""
+    the scorer's hot path never materializes Python strings.
+
+    ``boost_threshold=0.7, empty_empty=0.0, out_dtype=np.float64,
+    clamp_window=True`` is the SQL-oracle-parity configuration (DuckDB
+    ``jaro_winkler_similarity`` semantics, verified bit-equal on random
+    pairs and the test corpora); the defaults keep the engine's
+    reference-parity semantics and float32 hot path."""
     n = len(arr_a)
     if n == 0:
-        return np.zeros(0, dtype=np.float32)
+        return np.zeros(0, dtype=out_dtype)
     L = min(max_len, 64)
     A, la = pad_codes_arrow(arr_a, L)
     B, lb = pad_codes_arrow(arr_b, L)
-    return _jw_core(A, la, B, lb, prefix_weight, max_prefix)
+    return _jw_core(
+        A,
+        la,
+        B,
+        lb,
+        prefix_weight,
+        max_prefix,
+        boost_threshold,
+        empty_empty,
+        out_dtype,
+        clamp_window,
+    )
 
 
 def ratcliff_obershelp_batch_arrow(arr_a, arr_b, max_len: int = 64) -> np.ndarray:
@@ -308,17 +341,47 @@ def levenshtein_batch_arrow(arr_a, arr_b, max_len: int = 64) -> np.ndarray:
     ``td.levenshtein.normalized_similarity``) runs vectorized when
     selected in ``ScoringConfig.string_kernels``.
 
-    Scheme: Myers/Hyyrö bit-parallel edit distance with the pattern's
-    64-bit state vectors (VP/VN) held as numpy uint64 ARRAYS over the
-    whole pair batch — each text position advances every pair with ~12
-    vectorized word ops.  The per-position Eq masks come from one padded
-    code-matrix comparison per column (same ``pad_codes_arrow`` buffers
-    as the JW kernel).  Patterns are clamped to 64 code points (one
-    machine word); ``max_len`` beyond 64 clamps like the JW kernel.
+    Scheme: see :func:`_lev_core` (Myers/Hyyrö bit-parallel DP).
     """
     n = len(arr_a)
     if n == 0:
         return np.zeros(0, dtype=np.float32)
+    score, la, lb = _lev_core(arr_a, arr_b, max_len)
+    out = np.zeros(n, dtype=np.float64)
+    nz = la > 0  # la >= lb after the swap; la == 0 → both empty
+    out[nz] = 1.0 - score[nz] / la[nz]
+    out[~nz] = 1.0  # both empty → 1.0 (scalar s1 == s2 fast path)
+    out[(la > 0) & (lb == 0)] = 0.0  # one side empty → 0.0
+    return out.astype(np.float32)
+
+
+def levenshtein_distance_batch_arrow(arr_a, arr_b, max_len: int = 64) -> np.ndarray:
+    """Raw integer Levenshtein edit distance over n Arrow string pairs
+    (int64) — exact-integer output, so it is the natural SQL-oracle-parity
+    kernel (DuckDB ``levenshtein``) with zero float-rounding surface.
+    Strings are clamped to ``max_len`` (≤ 64) code points like every other
+    batch kernel here; feed pre-sliced fields when parity matters."""
+    n = len(arr_a)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    score, _, _ = _lev_core(arr_a, arr_b, max_len)
+    return score
+
+
+def _lev_core(arr_a, arr_b, max_len: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Shared Myers/Hyyrö bit-parallel edit-distance DP: returns
+    (distance:int64, la, lb) with la/lb the (possibly swapped) code-point
+    lengths, la >= lb.
+
+    The pattern's 64-bit state vectors (VP/VN) are held as numpy uint64
+    ARRAYS over the whole pair batch — each text position advances every
+    pair with ~12 vectorized word ops.  The per-position Eq masks come
+    from one padded code-matrix comparison per column (same
+    ``pad_codes_arrow`` buffers as the JW kernel).  Patterns are clamped
+    to 64 code points (one machine word); ``max_len`` beyond 64 clamps
+    like the JW kernel.
+    """
+    n = len(arr_a)
     L = min(max_len, 64)
     A, la = pad_codes_arrow(arr_a, L)
     B, lb = pad_codes_arrow(arr_b, L)
@@ -365,12 +428,68 @@ def levenshtein_batch_arrow(arr_a, arr_b, max_len: int = 64) -> np.ndarray:
             VP = np.where(active, nVP, VP)
             VN = np.where(active, nVN, VN)
 
-    out = np.zeros(n, dtype=np.float64)
-    nz = la > 0  # la >= lb after the swap; la == 0 → both empty
-    out[nz] = 1.0 - score[nz] / la[nz]
-    out[~nz] = 1.0  # both empty → 1.0 (scalar s1 == s2 fast path)
-    out[(la > 0) & (lb == 0)] = 0.0  # one side empty → 0.0
-    return out.astype(np.float32)
+    return score, la, lb
+
+
+def packed_trigram_sets(C: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(flat sorted-unique packed character trigrams, offsets) per row of a
+    padded (n, L) uint32 code matrix (see ``pad_codes_arrow``).
+
+    Trigram identity is EXACT, not hashed: three code points (< 0x110000,
+    21 bits each) pack losslessly into one uint64.  Per-row
+    ``np.sort(axis=1)`` with a top-bit sentinel (real grams use 63 bits,
+    so the sentinel never collides) — much cheaper than a global lexsort
+    of the flat gram stream."""
+    n, Lc = C.shape
+    if Lc < 3:
+        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+    packed = (
+        (C[:, :-2].astype(np.uint64) << np.uint64(42))
+        | (C[:, 1:-1].astype(np.uint64) << np.uint64(21))
+        | C[:, 2:].astype(np.uint64)
+    )
+    cnt = np.maximum(lens - 2, 0)
+    pos = np.arange(Lc - 2, dtype=np.int64)[None, :]
+    packed[pos >= cnt[:, None]] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    packed.sort(axis=1)  # valid grams ascend; sentinels sink to the end
+    keep = pos < cnt[:, None]
+    keep[:, 1:] &= packed[:, 1:] != packed[:, :-1]
+    uniq_cnt = keep.sum(axis=1)
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(uniq_cnt, out=offs[1:])
+    return packed[keep], offs  # row-major bool index → per-row ascending
+
+
+def set_overlap_u64_batch(
+    val_a: np.ndarray,
+    off_a: np.ndarray,
+    val_b: np.ndarray,
+    off_b: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact (intersection, union) SIZES over n pairs of SORTED-UNIQUE
+    uint64 lists given as (flat values, offsets) — the integer-output
+    sibling of :func:`jaccard_sorted_u64_batch` (same one-lexsort scheme),
+    for report columns that must stay float-free for SQL-oracle parity."""
+    n = len(off_a) - 1
+    la = (off_a[1:] - off_a[:-1]).astype(np.int64)
+    lb = (off_b[1:] - off_b[:-1]).astype(np.int64)
+    inter = np.zeros(n, dtype=np.int64)
+    total = int(la.sum() + lb.sum())
+    if total == 0:
+        return inter, la + lb
+    pid = np.empty(total, dtype=np.int64)
+    allv = np.empty(total, dtype=np.uint64)
+    ta = int(la.sum())
+    pid[:ta] = np.repeat(np.arange(n, dtype=np.int64), la)
+    pid[ta:] = np.repeat(np.arange(n, dtype=np.int64), lb)
+    allv[:ta] = _gather_flat(val_a, off_a, la)
+    allv[ta:] = _gather_flat(val_b, off_b, lb)
+    order = np.lexsort((allv, pid))
+    sv = allv[order]
+    sp = pid[order]
+    dup = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1])
+    np.add.at(inter, sp[1:][dup], 1)
+    return inter, la + lb - inter
 
 
 def ngram_jaccard_batch_arrow(arr_a, arr_b, max_len: int = 64) -> np.ndarray:
@@ -393,32 +512,8 @@ def ngram_jaccard_batch_arrow(arr_a, arr_b, max_len: int = 64) -> np.ndarray:
     A, la = pad_codes_arrow(arr_a, L)
     B, lb = pad_codes_arrow(arr_b, L)
 
-    def grams(C: np.ndarray, lens: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(flat sorted-unique packed trigrams, offsets) per row.  Per-row
-        ``np.sort(axis=1)`` with a top-bit sentinel (real grams use 63
-        bits, so the sentinel never collides) — much cheaper than a global
-        lexsort of the flat gram stream."""
-        n, Lc = C.shape
-        if Lc < 3:
-            return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
-        packed = (
-            (C[:, :-2].astype(np.uint64) << np.uint64(42))
-            | (C[:, 1:-1].astype(np.uint64) << np.uint64(21))
-            | C[:, 2:].astype(np.uint64)
-        )
-        cnt = np.maximum(lens - 2, 0)
-        pos = np.arange(Lc - 2, dtype=np.int64)[None, :]
-        packed[pos >= cnt[:, None]] = np.uint64(0xFFFFFFFFFFFFFFFF)
-        packed.sort(axis=1)  # valid grams ascend; sentinels sink to the end
-        keep = pos < cnt[:, None]
-        keep[:, 1:] &= packed[:, 1:] != packed[:, :-1]
-        uniq_cnt = keep.sum(axis=1)
-        offs = np.zeros(n + 1, dtype=np.int64)
-        np.cumsum(uniq_cnt, out=offs[1:])
-        return packed[keep], offs  # row-major bool index → per-row ascending
-
-    va, oa = grams(A, la)
-    vb, ob = grams(B, lb)
+    va, oa = packed_trigram_sets(A, la)
+    vb, ob = packed_trigram_sets(B, lb)
     out = jaccard_sorted_u64_batch(va, oa, vb, ob).astype(np.float32)
     # scalar conventions: s1 == s2 → 1.0 (covers equal short strings);
     # exactly one side gram-less → 0.0; both gram-less & unequal → 1.0
@@ -447,6 +542,10 @@ def _jw_core(
     lb: np.ndarray,
     prefix_weight: float = 0.1,
     max_prefix: int = 4,
+    boost_threshold: float = 0.0,
+    empty_empty: float = 1.0,
+    out_dtype=np.float32,
+    clamp_window: bool = False,
 ) -> np.ndarray:
     """Bit-parallel batched Jaro-Winkler over padded (n, L) uint32 code
     matrices — one uint64 position mask per (pair, character), the public
@@ -489,6 +588,10 @@ def _jw_core(
         PMB[rng_rows, BidT[jcol]] |= BITS[jcol]
 
     md = np.maximum(la, lb) // 2 - 1  # may be -1 (empty window), per scalar
+    if clamp_window:
+        # SQL-parity mode: DuckDB's jaro keeps a one-slot window for 1-char
+        # strings (verified: jaro('b','b') = 1.0 there, 0.0 classic)
+        md = np.maximum(md, 0)
 
     Lmax = int(la.max(initial=0))
     # search-window masks for every iteration, precomputed OUTSIDE the loop:
@@ -553,13 +656,16 @@ def _jw_core(
     j = np.where(m == 0, 0.0, j)
     j = np.where((la == 0) & (lb == 0), 1.0, j)
 
-    # Winkler prefix boost (only where jaro > 0, matching the scalar)
+    # Winkler prefix boost — only where jaro exceeds ``boost_threshold``
+    # (0.0 default boosts every nonzero jaro, matching the scalar / the
+    # reference's textdistance; 0.7 with empty_empty=0.0 and
+    # out_dtype=float64 is bit-parity with DuckDB jaro_winkler_similarity)
     P = min(max_prefix, L)
     eq = (Aid[:, :P] == Bid[:, :P]) & (np.arange(P)[None, :] < np.minimum(la, lb)[:, None])
     ell = np.cumprod(eq, axis=1).sum(axis=1)
-    jw = np.where(j > 0, j + ell * prefix_weight * (1.0 - j), 0.0)
-    jw = np.where((la == 0) & (lb == 0), 1.0, jw)
-    return jw.astype(np.float32)
+    jw = np.where(j > boost_threshold, j + ell * prefix_weight * (1.0 - j), j)
+    jw = np.where((la == 0) & (lb == 0), empty_empty, jw)
+    return jw.astype(out_dtype)
 
 
 def jaccard_sorted_u64_batch(
