@@ -628,6 +628,32 @@ def _q_dedup_increment(sf_dir: str):
     return dedup_increment(ds, tau=0.3)
 
 
+def _q_consolidate_clusters(sf_dir: str):
+    """Golden-record survivorship over the fuzzy-dedup clusters: one
+    canonical row per cluster — modal lang/source (ties to the smallest
+    value), max/sum of n_chars, min member id — the MDM merge step after
+    entity resolution."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.consolidate import consolidate_clusters
+    from record_linkage_ldu_ray.pipelines.docdedup import fuzzy_dedup_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source", "lang", "n_chars"],
+    )
+    assign = fuzzy_dedup_documents(docs, n=2, tau=0.05)
+    return consolidate_clusters(
+        docs,
+        assign,
+        id_col="doc_id",
+        cluster_col="rep_id",
+        mode_cols=("lang", "source"),
+        max_cols=("n_chars",),
+        sum_cols=("n_chars",),
+    )
+
+
 def _q_snm_pair_scores(sf_dir: str):
     """Sorted-neighborhood blocking (window 4 over the text-prefix sort
     key) + per-pair multi-kernel similarity breakdown: integer Levenshtein
@@ -1210,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "fuzzy_dedup_documents": _q_fuzzy_dedup_documents,
         "fuzzy_dedup_documents_lsh": _q_fuzzy_dedup_documents_lsh,
+        "consolidate_clusters": _q_consolidate_clusters,
         "semantic_dedup": _q_semantic_dedup,
         "mask_duplicate_spans": _q_mask_duplicate_spans,
         # -- curation composition + decontamination --
@@ -1237,7 +1264,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_short_docs": _q_filter_short_docs,
         # -- sampling / splits --
         "hash_split": _q_hash_split,
-        "stratified_hash_sample": _q_stratified_hash_sample,
         "snm_pair_scores": _q_snm_pair_scores,
         # -- multimodal plumbing --
         "payload_metadata": _q_payload_metadata,
@@ -1249,6 +1275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize_stub": _q_image_resize_stub,
         "audio_features_stub": _q_audio_features_stub,
         "source_length_quantiles": _q_source_length_quantiles,
+        "stratified_hash_sample": _q_stratified_hash_sample,
         "video_frame_sample_stub": _q_video_frame_sample_stub,
         "image_features_stub": _q_image_features_stub,
         "semantic_dedup_ivf": _q_semantic_dedup_ivf,
@@ -1751,6 +1778,52 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
               ON t.doc_id = b.nid
             WHERE t.isnew
+        """,
+        "consolidate_clusters": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, source, {_WS_WORDS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(range(1, len(w)),
+                        i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS s
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE len(a.s) + len(b.s) > 0
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    >= 0.05),
+            ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(src, dst) AS (
+              SELECT a, a FROM ed
+              UNION
+              SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+            rep AS (SELECT src AS doc_id, min(dst) AS rep_id
+                    FROM reach GROUP BY src),
+            cl AS (SELECT d.doc_id, coalesce(rep.rep_id, d.doc_id) AS rep_id,
+                          d.lang, d.source, d.n_chars
+                   FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id),
+            base AS (SELECT rep_id,
+                            CAST(count(*) AS BIGINT) AS n_members,
+                            CAST(min(doc_id) AS BIGINT) AS canonical_id,
+                            CAST(max(n_chars) AS BIGINT) AS n_chars_max,
+                            CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+                     FROM cl GROUP BY rep_id),
+            lm AS (SELECT rep_id, lang AS lang_mode FROM (
+                     SELECT rep_id, lang,
+                            row_number() OVER (PARTITION BY rep_id
+                              ORDER BY count(*) DESC, lang ASC) AS rn
+                     FROM cl GROUP BY rep_id, lang) WHERE rn = 1),
+            sm AS (SELECT rep_id, source AS source_mode FROM (
+                     SELECT rep_id, source,
+                            row_number() OVER (PARTITION BY rep_id
+                              ORDER BY count(*) DESC, source ASC) AS rn
+                     FROM cl GROUP BY rep_id, source) WHERE rn = 1)
+            SELECT base.rep_id, base.n_members, base.canonical_id,
+                   base.n_chars_max, base.n_chars_sum,
+                   lm.lang_mode, sm.source_mode
+            FROM base JOIN lm USING (rep_id) JOIN sm USING (rep_id)
         """,
         "snm_pair_scores": """
             WITH r AS (SELECT doc_id, substr(text, 1, 24) AS k,
