@@ -192,6 +192,16 @@ def _q_jaccard_dup_pairs(sf_dir: str):
     )
 
 
+def _q_tfidf_cosine_pairs(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import tfidf_cosine_pairs
+
+    return tfidf_cosine_pairs(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), tau=0.9
+    )
+
+
 def _q_ngram_jaccard_dup_pairs(sf_dir: str):
     import ray.data
 
@@ -1230,6 +1240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": _q_dedup_keep_best,
         "jaccard_dup_pairs": _q_jaccard_dup_pairs,
         "ngram_jaccard_dup_pairs": _q_ngram_jaccard_dup_pairs,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "top_similar_pairs": _q_top_similar_pairs,
         "minhash_lsh_dup_pairs": _q_minhash_lsh_dup_pairs,
         "simhash_dup_pairs": _q_simhash_dup_pairs,
@@ -1584,6 +1595,30 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(a.w) + len(b.w) > 0)
             SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
             FROM pairs WHERE j >= 0.5
+        """,
+        "tfidf_cosine_pairs": f"""
+            WITH w AS (
+              SELECT doc_id, unnest({_WS_WORDS}) AS token FROM documents),
+            tf AS (
+              SELECT doc_id, token, count(*)::DOUBLE AS tf FROM w GROUP BY 1, 2),
+            dfreq AS (
+              SELECT token, count(DISTINCT doc_id)::DOUBLE AS df FROM w GROUP BY 1),
+            corpus AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            wt AS (
+              SELECT doc_id, tf.token,
+                     tf.tf * (ln((1.0 + corpus.n) / (1.0 + dfreq.df)) + 1.0) AS w
+              FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN corpus),
+            nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY 1),
+            wn AS (
+              SELECT wt.doc_id, token, wt.w / nrm.nrm AS wn
+              FROM wt JOIN nrm ON wt.doc_id = nrm.doc_id),
+            dot AS (
+              SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     sum(a.wn * b.wn) AS cosine
+              FROM wn a JOIN wn b ON a.token = b.token AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_id_a, doc_id_b, round(cosine, 6) AS cosine
+            FROM dot WHERE cosine >= 0.9
         """,
         "ngram_jaccard_dup_pairs": f"""
             WITH toks AS (

@@ -1740,3 +1740,181 @@ def write_curated_shards(sf_dir: str, outdir: str, **curate_kwargs):
         .sort("split")
         .to_arrow()
     )
+
+
+# ---------------------------------------------------------------------------
+# sparse all-pairs TF-IDF cosine similarity (posting-list join)
+
+
+def tfidf_cosine_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.9,
+    max_df: int | None = None,
+    max_vocab: int = 1_000_000,
+    num_parts: int | None = None,
+):
+    """All document pairs whose TF-IDF cosine similarity ≥ ``tau`` via
+    posting-list expansion — the inverted-index all-pairs similarity join
+    (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW'07): a pair is generated once per SHARED token and its dot product
+    accumulates distributively, so the corpus is never cross-joined.
+
+    This is the sparse-vector sibling of :func:`embedding_dup_pairs` and the
+    cosine analog of the reference's token-set similarity
+    (compare_ldu_ldu.py:28-40), using the same smooth-IDF weighting as
+    :func:`~record_linkage_ldu_ray.pipelines.textstats.tfidf_top_terms`
+    (``tf * (ln((1+N)/(1+df)) + 1)``, L2-normalized per document).
+
+    Plan (two exchanges, both on narrow rows):
+      1. DF pass: per-batch partial document frequencies → one token-keyed
+         hash exchange → bounded driver merge; the (token → idf) table is
+         ``ray.put`` ONCE and read by every scoring task.
+      2. Posting pass: one ``map_batches`` re-tokenizes, L2-normalizes
+         per document (a document's text lives in one row, so its norm is
+         batch-local), and emits narrow ``(token, id, weight)`` postings
+         partitioned by token hash.
+      3. Pair partials: within each token partition, a vectorized triangle
+         enumeration per token group (``_pairs_within_groups`` — no Python
+         pair loop) emits ``(id_a, id_b, Σ_local w_a·w_b)`` pre-aggregated
+         rows, partitioned by pair hash.
+      4. Finalize: per-pair sum → cosine, filter ≥ tau, round to 6dp.
+
+    Scale knobs: ``max_df`` drops tokens appearing in more than that many
+    documents BEFORE weighting (a df-heavy token contributes O(df²) pair
+    partials but near-zero IDF weight — dropping it is both the WW'07
+    prefix-filter idea and standard stopword pruning).  Default None keeps
+    exact SQL-oracle parity.  ``max_vocab`` bounds the broadcast DF table.
+
+    Output: (``{id}_a``, ``{id}_b``, cosine:double 6dp) with id_a < id_b.
+    """
+    import pyarrow.compute as pc
+
+    from record_linkage_ldu_ray.pipelines.textstats import vocab_top_tokens
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
+
+    P = num_parts if num_parts is not None else default_num_parts()
+    n_total = ds.count()
+    df_tbl = vocab_top_tokens(ds, id_col=id_col, text_col=text_col, k=max_vocab)
+    if max_df is not None:
+        df_tbl = df_tbl.filter(pc.less_equal(df_tbl["n_docs"], pa.scalar(max_df)))
+    idf = (
+        np.log((1.0 + n_total) / (1.0 + df_tbl["n_docs"].to_numpy().astype(np.float64)))
+        + 1.0
+    )
+    idf_ref = ray.put(
+        pl.DataFrame(
+            {
+                "token": pl.from_arrow(df_tbl["token"].combine_chunks()),
+                "idf": pl.Series(idf, dtype=pl.Float64),
+            }
+        )
+    )
+
+    posting_schema = pa.schema(
+        [(id_col, pa.int64()), ("token", pa.string()), ("wn", pa.float64()), ("part", pa.int32())]
+    )
+
+    def _postings(t: pa.Table) -> pa.Table:
+        idfmap: pl.DataFrame = ray.get(idf_ref)
+        toks = (
+            pl.DataFrame(
+                {
+                    id_col: pl.from_arrow(t[id_col].combine_chunks()),
+                    "token": pl.from_arrow(t[text_col].combine_chunks()).str.extract_all(
+                        r"\S+"
+                    ),
+                }
+            )
+            .explode("token")
+            .drop_nulls("token")
+        )
+        tf = toks.group_by([id_col, "token"]).agg(tf=pl.len().cast(pl.Float64))
+        j = tf.join(idfmap, on="token", how="inner")
+        if len(j) == 0:
+            return posting_schema.empty_table()
+        j = j.with_columns((pl.col("tf") * pl.col("idf")).alias("w"))
+        j = j.with_columns(
+            (pl.col("w") / pl.col("w").pow(2).sum().sqrt().over(id_col)).alias("wn")
+        )
+        out = pa.table(
+            {
+                id_col: j[id_col].cast(pl.Int64).to_arrow(),
+                "token": j["token"].to_arrow().cast(pa.string()),
+                "wn": j["wn"].to_arrow().cast(pa.float64()),
+            }
+        )
+        h = fnv1a_hash_strings(out["token"].combine_chunks())
+        return out.append_column(
+            "part", pa.array((h % np.uint64(P)).astype(np.int32), pa.int32())
+        )
+
+    postings = ds.select_columns([id_col, text_col]).map_batches(
+        _postings, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    partial_schema = pa.schema(
+        [
+            (f"{id_col}_a", pa.int64()),
+            (f"{id_col}_b", pa.int64()),
+            ("dot", pa.float64()),
+            ("part", pa.int32()),
+        ]
+    )
+
+    def _pair_partials(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return partial_schema.empty_table()
+        df = pl.from_arrow(t.drop_columns(["part"]))
+        pairs = _pairs_within_groups(df, "token", id_col)
+        if len(pairs) == 0:
+            return partial_schema.empty_table()
+        ii, jj = pairs[:, 0], pairs[:, 1]
+        ids = df[id_col].to_numpy()
+        wn = df["wn"].to_numpy()
+        # within a token group ids are unique and the triangle is oriented
+        # by id order, so id_a < id_b holds without a re-orient pass
+        pp = (
+            pl.DataFrame(
+                {
+                    f"{id_col}_a": ids[ii],
+                    f"{id_col}_b": ids[jj],
+                    "dot": wn[ii] * wn[jj],
+                }
+            )
+            .group_by([f"{id_col}_a", f"{id_col}_b"])
+            .agg(pl.col("dot").sum())
+        )
+        a = pp[f"{id_col}_a"].to_numpy().astype(np.uint64)
+        b = pp[f"{id_col}_b"].to_numpy().astype(np.uint64)
+        part2 = (splitmix64(splitmix64(a) ^ b) % np.uint64(P)).astype(np.int32)
+        out = pp.to_arrow().cast(partial_schema.remove(3))
+        return out.append_column("part", pa.array(part2, pa.int32()))
+
+    partials = partitioned_map(postings, ["part"], P, _pair_partials)
+
+    out_schema = pa.schema(
+        [(f"{id_col}_a", pa.int64()), (f"{id_col}_b", pa.int64()), ("cosine", pa.float64())]
+    )
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .group_by([f"{id_col}_a", f"{id_col}_b"])
+            .agg(pl.col("dot").sum())
+        )
+        cos = df["dot"].to_numpy()
+        keep = cos >= tau
+        return pa.table(
+            {
+                f"{id_col}_a": df[f"{id_col}_a"].to_numpy()[keep],
+                f"{id_col}_b": df[f"{id_col}_b"].to_numpy()[keep],
+                "cosine": round6(cos[keep]),
+            },
+            schema=out_schema,
+        )
+
+    return partitioned_map(partials, ["part"], P, _finalize)
