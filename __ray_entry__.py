@@ -192,6 +192,16 @@ def _q_jaccard_dup_pairs(sf_dir: str):
     )
 
 
+def _q_blocking_quality(sf_dir: str):
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import blocking_quality
+
+    return blocking_quality(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), key_len=4, tau=0.5
+    )
+
+
 def _q_tfidf_cosine_pairs(sf_dir: str):
     import ray.data
 
@@ -1255,6 +1265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_ngrams": _q_decontaminate_ngrams,
         "cross_source_overlap": _q_cross_source_overlap,
         "dedup_increment": _q_dedup_increment,
+        "blocking_quality": _q_blocking_quality,
         # -- similarity search --
         "ann_topk": _q_ann_topk,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1273,9 +1284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_documents": _q_pack_documents,
         "redact_pii": _q_redact_pii,
         "filter_short_docs": _q_filter_short_docs,
+        "snm_pair_scores": _q_snm_pair_scores,
         # -- sampling / splits --
         "hash_split": _q_hash_split,
-        "snm_pair_scores": _q_snm_pair_scores,
         # -- multimodal plumbing --
         "payload_metadata": _q_payload_metadata,
         # ======== driver 50-entry window boundary (entries above have
@@ -1595,6 +1606,37 @@ def oracle_sql() -> dict[str, str]:
               WHERE len(a.w) + len(b.w) > 0)
             SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
             FROM pairs WHERE j >= 0.5
+        """,
+        "blocking_quality": f"""
+            WITH k AS (
+              SELECT doc_id,
+                     substr(regexp_replace(lower(text), '\\s+', '', 'g'), 1, 4) AS bkey
+              FROM documents),
+            toks AS (SELECT doc_id, list_distinct({_WS_WORDS}) AS w FROM documents),
+            tp AS (
+              SELECT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+              WHERE len(a.w) + len(b.w) > 0
+                AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                    / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5),
+            cnts AS (
+              SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+                     (SELECT coalesce(sum(m * (m - 1) // 2), 0)::BIGINT
+                      FROM (SELECT count(*) m FROM k GROUP BY bkey)) AS n_candidate_pairs,
+                     (SELECT count(*)::BIGINT FROM tp) AS n_true_pairs,
+                     (SELECT count(*)::BIGINT
+                      FROM tp JOIN k ka ON tp.a_id = ka.doc_id
+                              JOIN k kb ON tp.b_id = kb.doc_id
+                      WHERE ka.bkey = kb.bkey) AS n_covered_true_pairs)
+            SELECT n_docs, n_candidate_pairs, n_true_pairs, n_covered_true_pairs,
+                   round(CASE WHEN n_docs >= 2
+                              THEN 1.0 - n_candidate_pairs
+                                   / (n_docs * (n_docs - 1) // 2)::DOUBLE
+                              ELSE 1.0 END, 6) AS reduction_ratio,
+                   round(CASE WHEN n_true_pairs > 0
+                              THEN n_covered_true_pairs / n_true_pairs::DOUBLE
+                              ELSE 1.0 END, 6) AS pairs_completeness
+            FROM cnts
         """,
         "tfidf_cosine_pairs": f"""
             WITH w AS (

@@ -1918,3 +1918,132 @@ def tfidf_cosine_pairs(
         )
 
     return partitioned_map(partials, ["part"], P, _finalize)
+
+
+# ---------------------------------------------------------------------------
+# blocking-quality audit (reduction ratio / pairs completeness)
+
+
+def blocking_quality(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_len: int = 4,
+    tau: float = 0.5,
+    pair_chunk: int = 512,
+):
+    """Audit a blocking scheme against exact ground truth: the two standard
+    record-linkage blocking metrics (Christen, "Data Matching", Springer
+    2012, §7.5 — public textbook material):
+
+      reduction_ratio    = 1 − |candidate pairs| / |all pairs|
+      pairs_completeness = |true pairs with equal block key| / |true pairs|
+
+    Blocking key: first ``key_len`` characters of the lower-cased,
+    whitespace-stripped text (the engine's prefix-blocking motif,
+    README.md:245 "check only those with matching countries" analog).
+    Ground truth: unique-token-set Jaccard ≥ ``tau`` over ALL pairs — the
+    exact quadratic comparison the reference runs outright
+    (compare_ldu_ldu.py full pairwise index).
+
+    Ground truth is inherently O(n²): this is an AUDIT operator, meant to
+    run over a bounded sample (compose with ``hash_sample`` — deterministic
+    and self-consistent across runs) whose metrics estimate the full-corpus
+    ratios.  The pair loop is chunked (``pair_chunk`` anchor rows per
+    vectorized kernel call) so memory stays flat; candidate counting is
+    closed-form Σ C(m_key, 2) — candidates are COUNTED from key-group
+    sizes, never enumerated.
+
+    Output: ONE row — (n_docs, n_candidate_pairs, n_true_pairs,
+    n_covered_true_pairs, reduction_ratio, pairs_completeness), ratios
+    rounded to 6dp; completeness defined as 1.0 when there are no true
+    pairs, reduction_ratio 1.0 when n < 2.
+    """
+    out_schema = pa.schema(
+        [
+            ("n_docs", pa.int64()),
+            ("n_candidate_pairs", pa.int64()),
+            ("n_true_pairs", pa.int64()),
+            ("n_covered_true_pairs", pa.int64()),
+            ("reduction_ratio", pa.float64()),
+            ("pairs_completeness", pa.float64()),
+        ]
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        s = pl.from_arrow(t[text_col].combine_chunks())
+        bkey = (
+            s.str.to_lowercase()
+            .str.replace_all(r"\s+", "")
+            .str.slice(0, key_len)
+        )
+        toks = _ws_token_lists(t[text_col]).list.unique().list.sort()
+        tok_arr = toks.to_arrow()
+        if pa.types.is_large_list(tok_arr.type):
+            tok_arr = tok_arr.cast(pa.list_(pa.string()))
+        offsets = tok_arr.offsets.to_numpy().astype(np.int64)
+        flat = fnv1a_hash_strings(tok_arr.flatten())
+        lens = offsets[1:] - offsets[:-1]
+        parents = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = flat[np.lexsort((flat, parents))]
+        hashes = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(flat, pa.uint64())
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "bkey": bkey.to_arrow().cast(pa.string()),
+                "hashes": hashes,
+                "part": pa.array(np.zeros(len(t), np.int32), pa.int32()),
+            }
+        )
+
+    prepped = ds.select_columns([id_col, text_col]).map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _audit(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return out_schema.empty_table()
+        bkeys = np.asarray(t["bkey"].to_pylist(), dtype=object)
+        # candidate count: closed-form over key-group sizes
+        _, counts = np.unique(bkeys, return_counts=True)
+        m = counts.astype(np.int64)
+        n_cand = int((m * (m - 1) // 2).sum())
+        # ground truth: chunked exact Jaccard over the full triangle
+        harr = t["hashes"].combine_chunks()
+        offsets = harr.offsets.to_numpy().astype(np.int64)
+        flat = harr.values.to_numpy().astype(np.uint64)
+        n_true = 0
+        n_cov = 0
+        for i0 in range(0, n - 1, pair_chunk):
+            i1 = min(i0 + pair_chunk, n - 1)
+            anchors = np.arange(i0, i1, dtype=np.int64)
+            reps = (n - 1) - anchors  # partners per anchor: i+1 .. n-1
+            ii = np.repeat(anchors, reps)
+            jj = np.concatenate(
+                [np.arange(a + 1, n, dtype=np.int64) for a in anchors]
+            ) if len(anchors) else np.empty(0, np.int64)
+            ja = _pair_jaccard_f64(flat, offsets, ii, jj)
+            hit = ja >= tau
+            n_true += int(hit.sum())
+            n_cov += int((bkeys[ii[hit]] == bkeys[jj[hit]]).sum())
+        total_pairs = n * (n - 1) // 2
+        rr = 1.0 - n_cand / total_pairs if total_pairs else 1.0
+        pc_ = n_cov / n_true if n_true else 1.0
+        return pa.table(
+            {
+                "n_docs": pa.array([n], pa.int64()),
+                "n_candidate_pairs": pa.array([n_cand], pa.int64()),
+                "n_true_pairs": pa.array([n_true], pa.int64()),
+                "n_covered_true_pairs": pa.array([n_cov], pa.int64()),
+                "reduction_ratio": pa.array(round6(np.array([rr])), pa.float64()),
+                "pairs_completeness": pa.array(round6(np.array([pc_])), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    from record_linkage_ldu_ray.runtime import partitioned_map
+
+    return partitioned_map(prepped, ["part"], 1, _audit)
