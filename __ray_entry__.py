@@ -674,6 +674,25 @@ def _q_consolidate_clusters(sf_dir: str):
     )
 
 
+def _q_edit_distance_pairs(sf_dir: str):
+    """Exact edit-distance self-join over customer names: every pair with
+    levenshtein <= 1, via lossless FastSS/SymSpell deletion-neighborhood
+    blocking + bit-parallel Myers verification (pipelines/editjoin.py).
+    DuckDB's levenshtein() is the oracle on its side."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.editjoin import edit_distance_pairs
+
+    return edit_distance_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+        ),
+        "c_custkey",
+        "c_name",
+        k=1,
+    )
+
+
 def _q_snm_pair_scores(sf_dir: str):
     """Sorted-neighborhood blocking (window 4 over the text-prefix sort
     key) + per-pair multi-kernel similarity breakdown: integer Levenshtein
@@ -1283,8 +1302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "pack_documents": _q_pack_documents,
         "redact_pii": _q_redact_pii,
-        "filter_short_docs": _q_filter_short_docs,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "snm_pair_scores": _q_snm_pair_scores,
+        "filter_short_docs": _q_filter_short_docs,
         # -- sampling / splits --
         "hash_split": _q_hash_split,
         # -- multimodal plumbing --
@@ -1901,6 +1921,13 @@ def oracle_sql() -> dict[str, str]:
                    base.n_chars_max, base.n_chars_sum,
                    lm.lang_mode, sm.source_mode
             FROM base JOIN lm USING (rep_id) JOIN sm USING (rep_id)
+        """,
+        "edit_distance_pairs": """
+            SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                   levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+            FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+            WHERE abs(length(a.c_name) - length(b.c_name)) <= 1
+              AND levenshtein(a.c_name, b.c_name) <= 1
         """,
         "snm_pair_scores": """
             WITH r AS (SELECT doc_id, substr(text, 1, 24) AS k,
