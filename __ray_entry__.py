@@ -693,6 +693,66 @@ def _q_edit_distance_pairs(sf_dir: str):
     )
 
 
+def _q_fs_match_weights(sf_dir: str):
+    """Fellegi-Sunter probabilistic linkage over nation-blocked customer
+    pairs: three binary agreement fields (market segment, acct-balance
+    thousand-bucket, name edit distance <= 1), m/u/p estimated by EM over
+    the agreement-pattern histogram (pipelines/problink.py), per-pair
+    base-2 log-likelihood match weight + posterior.  The DuckDB oracle
+    replays the SAME fixed-iteration EM as a recursive CTE."""
+    import numpy as np
+    import pyarrow as _pa
+
+    import ray.data
+
+    from record_linkage_ldu_ray.functions.sim import (
+        levenshtein_distance_batch_arrow,
+    )
+    from record_linkage_ldu_ray.pipelines.problink import (
+        block_pairs,
+        fs_match_weights,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=[
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        ],
+    )
+    pairs = block_pairs(
+        ds, "c_nationkey", "c_custkey",
+        ["c_name", "c_acctbal", "c_mktsegment"],
+    )
+
+    def _bits(t: _pa.Table) -> _pa.Table:
+        seg = _pa.compute.equal(
+            t["c_mktsegment_a"], t["c_mktsegment_b"]
+        ).to_numpy(zero_copy_only=False)
+        bal_a = t["c_acctbal_a"].combine_chunks().to_numpy()
+        bal_b = t["c_acctbal_b"].combine_chunks().to_numpy()
+        bal = np.floor(bal_a / 1000.0) == np.floor(bal_b / 1000.0)
+        dist = levenshtein_distance_batch_arrow(
+            t["c_name_a"].combine_chunks(), t["c_name_b"].combine_chunks()
+        )
+        return _pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "agr_seg": _pa.array(seg.astype(np.int64), _pa.int64()),
+                "agr_bal": _pa.array(bal.astype(np.int64), _pa.int64()),
+                "agr_name": _pa.array((dist <= 1).astype(np.int64), _pa.int64()),
+            }
+        )
+
+    bits = pairs.map_batches(_bits, batch_format="pyarrow", zero_copy_batch=True)
+    out, _params = fs_match_weights(bits, ["agr_seg", "agr_bal", "agr_name"])
+    return out
+
+
 def _q_snm_pair_scores(sf_dir: str):
     """Sorted-neighborhood blocking (window 4 over the text-prefix sort
     key) + per-pair multi-kernel similarity breakdown: integer Levenshtein
@@ -1299,14 +1359,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_tokens_exact": _q_distinct_tokens_exact,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "chunk_documents": _q_chunk_documents,
         "pack_documents": _q_pack_documents,
         "redact_pii": _q_redact_pii,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "fs_match_weights": _q_fs_match_weights,
         "snm_pair_scores": _q_snm_pair_scores,
         "filter_short_docs": _q_filter_short_docs,
         # -- sampling / splits --
         "hash_split": _q_hash_split,
+        "chunk_documents": _q_chunk_documents,
         # -- multimodal plumbing --
         "payload_metadata": _q_payload_metadata,
         # ======== driver 50-entry window boundary (entries above have
@@ -1921,6 +1982,68 @@ def oracle_sql() -> dict[str, str]:
                    base.n_chars_max, base.n_chars_sum,
                    lm.lang_mode, sm.source_mode
             FROM base JOIN lm USING (rep_id) JOIN sm USING (rep_id)
+        """,
+        "fs_match_weights": """
+            WITH RECURSIVE pr AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     CASE WHEN a.c_mktsegment = b.c_mktsegment
+                          THEN 1 ELSE 0 END AS s,
+                     CASE WHEN floor(a.c_acctbal / 1000) = floor(b.c_acctbal / 1000)
+                          THEN 1 ELSE 0 END AS bl,
+                     CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                          THEN 1 ELSE 0 END AS nm
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey),
+            pat AS (
+              SELECT s, bl, nm, count(*)::BIGINT AS cnt
+              FROM pr GROUP BY 1, 2, 3),
+            em(it, m, u, p) AS (
+              SELECT 0, CAST([0.9, 0.9, 0.9] AS DOUBLE[]),
+                     CAST([0.1, 0.1, 0.1] AS DOUBLE[]), CAST(0.1 AS DOUBLE)
+              UNION ALL
+              SELECT it + 1, st.m_new, st.u_new, st.p_new
+              FROM em, LATERAL (
+                WITH w AS (
+                  SELECT s AS a1, bl AS a2, nm AS a3, cnt,
+                    p * (a1*m[1] + (1-a1)*(1-m[1]))
+                      * (a2*m[2] + (1-a2)*(1-m[2]))
+                      * (a3*m[3] + (1-a3)*(1-m[3])) AS num,
+                    (1-p) * (a1*u[1] + (1-a1)*(1-u[1]))
+                          * (a2*u[2] + (1-a2)*(1-u[2]))
+                          * (a3*u[3] + (1-a3)*(1-u[3])) AS den
+                  FROM pat),
+                g AS (
+                  SELECT sum(cnt * num/(num+den)) AS wm,
+                         sum(cnt * (1 - num/(num+den))) AS wu,
+                         sum(cnt * num/(num+den) * a1) AS m1,
+                         sum(cnt * num/(num+den) * a2) AS m2,
+                         sum(cnt * num/(num+den) * a3) AS m3,
+                         sum(cnt * (1-num/(num+den)) * a1) AS u1,
+                         sum(cnt * (1-num/(num+den)) * a2) AS u2,
+                         sum(cnt * (1-num/(num+den)) * a3) AS u3,
+                         sum(cnt) AS n
+                  FROM w)
+                SELECT [m1/wm, m2/wm, m3/wm] AS m_new,
+                       [u1/wu, u2/wu, u3/wu] AS u_new,
+                       wm/n AS p_new
+                FROM g) st
+              WHERE it < 30),
+            fin AS (SELECT m, u, p FROM em WHERE it = 30)
+            SELECT pr.id_a, pr.id_b,
+                   pr.s::BIGINT AS agr_seg, pr.bl::BIGINT AS agr_bal,
+                   pr.nm::BIGINT AS agr_name,
+                   round(  s  * log2(m[1]/u[1]) + (1-s ) * log2((1-m[1])/(1-u[1]))
+                         + bl * log2(m[2]/u[2]) + (1-bl) * log2((1-m[2])/(1-u[2]))
+                         + nm * log2(m[3]/u[3]) + (1-nm) * log2((1-m[3])/(1-u[3])), 6)
+                     AS match_weight,
+                   round( (p * (s*m[1]+(1-s)*(1-m[1])) * (bl*m[2]+(1-bl)*(1-m[2]))
+                             * (nm*m[3]+(1-nm)*(1-m[3])))
+                        / ( p * (s*m[1]+(1-s)*(1-m[1])) * (bl*m[2]+(1-bl)*(1-m[2]))
+                              * (nm*m[3]+(1-nm)*(1-m[3]))
+                          + (1-p) * (s*u[1]+(1-s)*(1-u[1])) * (bl*u[2]+(1-bl)*(1-u[2]))
+                                  * (nm*u[3]+(1-nm)*(1-u[3])) ), 6) AS posterior
+            FROM pr, fin
         """,
         "edit_distance_pairs": """
             SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
