@@ -1,0 +1,59 @@
+"""ray-job CLI: dedup/link/query subcommands run in-process against the
+session Ray and write partitioned parquet."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from record_linkage_ldu_ray.cli import main
+from record_linkage_ldu_ray.fixtures import FixtureSpec, cached_fixture
+
+
+def _run(argv, capsys):
+    rc = main(argv)
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    return rc, json.loads(out)
+
+
+class TestCli:
+    def test_query_writes_parquet(self, ray_session, tmp_path, capsys):
+        out = str(tmp_path / "q")
+        rc, res = _run(
+            ["query", "lineitem_pricing", "--sf-dir", "/root/testdata/sf0.001",
+             "--out", out],
+            capsys,
+        )
+        assert rc == 0 and res["rows"] > 0
+        files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+        assert files
+        assert sum(pq.read_table(os.path.join(out, f)).num_rows
+                   for f in files) == res["rows"]
+
+    def test_dedup_end_to_end_and_resume(self, ray_session, tmp_path, capsys):
+        fix = cached_fixture(FixtureSpec(n_families=20))
+        work = str(tmp_path / "work")
+        out1 = str(tmp_path / "out1")
+        rc, res = _run(
+            ["dedup", "--input", f"{fix}/transcripts.parquet",
+             "--workdir", work, "--out", out1],
+            capsys,
+        )
+        assert rc == 0 and res["clusters"] > 0
+        # resume: same workdir, fresh out dir — stages skip via manifests,
+        # results identical
+        out2 = str(tmp_path / "out2")
+        rc2, res2 = _run(
+            ["dedup", "--input", f"{fix}/transcripts.parquet",
+             "--workdir", work, "--out", out2],
+            capsys,
+        )
+        assert rc2 == 0
+        assert res2["clusters"] == res["clusters"]
+        assert res2["matches"] == res["matches"]
+
+    def test_unknown_query_exits(self, ray_session, tmp_path, capsys):
+        import pytest
+
+        with pytest.raises(SystemExit):
+            main(["query", "no_such_pipeline", "--out", str(tmp_path / "x")])
