@@ -693,6 +693,92 @@ def _q_edit_distance_pairs(sf_dir: str):
     )
 
 
+def _q_dedup_threshold_curve(sf_dir: str):
+    """Decision-threshold calibration curve for a dedup rule: within-source
+    document pairs scored by exact token-set Jaccard, labeled by exact
+    text equality, swept over every distinct score
+    (pipelines/evaluate.py threshold_curve — the reference's histogram
+    eyeballing as an exact distributed PR curve)."""
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    import ray.data
+
+    from record_linkage_ldu_ray.functions.hashing import fnv1a_hash_strings
+    from record_linkage_ldu_ray.functions.rounding import round6
+    from record_linkage_ldu_ray.pipelines.docdedup import (
+        _pair_jaccard_f64,
+        _ws_token_lists,
+    )
+    from record_linkage_ldu_ray.pipelines.evaluate import threshold_curve
+    from record_linkage_ldu_ray.pipelines.problink import block_pairs
+
+    def _prep(t: _pa.Table) -> _pa.Table:
+        toks = _ws_token_lists(t["text"]).list.unique().list.sort()
+        tok_arr = toks.to_arrow()
+        if _pa.types.is_large_list(tok_arr.type):
+            tok_arr = tok_arr.cast(_pa.list_(_pa.string()))
+        offsets = tok_arr.offsets.to_numpy().astype(np.int64)
+        flat = fnv1a_hash_strings(tok_arr.flatten())
+        lens = offsets[1:] - offsets[:-1]
+        parents = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = flat[np.lexsort((flat, parents))]
+        hashes = _pa.LargeListArray.from_arrays(
+            _pa.array(offsets, _pa.int64()), _pa.array(flat, _pa.uint64())
+        )
+        return _pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "text": t["text"],
+                "hashes": hashes,
+            }
+        )
+
+    prep = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = block_pairs(prep, "source", "doc_id", ["hashes", "text"])
+
+    def _score(t: _pa.Table) -> _pa.Table:
+        n = len(t)
+        if n == 0:
+            return _pa.table(
+                {
+                    "score": _pa.array([], _pa.float64()),
+                    "label": _pa.array([], _pa.int64()),
+                }
+            )
+        ha = t["hashes_a"].combine_chunks()
+        hb = t["hashes_b"].combine_chunks()
+        oa = ha.offsets.to_numpy().astype(np.int64)
+        ob = hb.offsets.to_numpy().astype(np.int64)
+        # sliced list arrays: offsets need not start at 0 — rebase each
+        # side, then lay the two segment runs back-to-back
+        fa = ha.values.to_numpy().astype(np.uint64)[oa[0]: oa[-1]]
+        fb = hb.values.to_numpy().astype(np.uint64)[ob[0]: ob[-1]]
+        oa = oa - oa[0]
+        ob = ob - ob[0]
+        flat = np.concatenate([fa, fb])
+        offsets = np.concatenate([oa, ob[1:] + len(fa)])
+        idx = np.arange(n, dtype=np.int64)
+        j = _pair_jaccard_f64(flat, offsets, idx, n + idx)
+        label = _pc.equal(t["text_a"], t["text_b"])
+        return _pa.table(
+            {
+                "score": _pa.array(round6(j), _pa.float64()),
+                "label": _pa.array(
+                    label.to_numpy(zero_copy_only=False).astype(np.int64),
+                    _pa.int64(),
+                ),
+            }
+        )
+
+    scored = pairs.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)
+    return threshold_curve(scored, "score", "label")
+
+
 def _q_fs_match_weights(sf_dir: str):
     """Fellegi-Sunter probabilistic linkage over nation-blocked customer
     pairs: three binary agreement fields (market segment, acct-balance
@@ -1364,6 +1450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "fs_match_weights": _q_fs_match_weights,
         "snm_pair_scores": _q_snm_pair_scores,
+        "dedup_threshold_curve": _q_dedup_threshold_curve,
         "filter_short_docs": _q_filter_short_docs,
         # -- sampling / splits --
         "hash_split": _q_hash_split,
@@ -1982,6 +2069,41 @@ def oracle_sql() -> dict[str, str]:
                    base.n_chars_max, base.n_chars_sum,
                    lm.lang_mode, sm.source_mode
             FROM base JOIN lm USING (rep_id) JOIN sm USING (rep_id)
+        """,
+        "dedup_threshold_curve": f"""
+            WITH toks AS (
+              SELECT doc_id, source, text, list_distinct({_WS_WORDS}) AS w
+              FROM documents),
+            pr AS (
+              SELECT round(CASE WHEN len(a.w) + len(b.w) > 0 THEN
+                         CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                         / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))
+                       ELSE 0 END, 6) AS score,
+                     CASE WHEN a.text = b.text THEN 1 ELSE 0 END AS y
+              FROM toks a JOIN toks b
+                ON a.source = b.source AND a.doc_id < b.doc_id),
+            per AS (
+              SELECT score, sum(y)::BIGINT AS np, count(*)::BIGINT AS nt
+              FROM pr GROUP BY score),
+            cum AS (
+              SELECT score AS threshold,
+                     sum(np) OVER win AS tp,
+                     sum(nt - np) OVER win AS fp,
+                     (SELECT sum(np) FROM per) AS p
+              FROM per WINDOW win AS (ORDER BY score DESC)),
+            raw AS (
+              SELECT threshold, tp, fp, p - tp AS fn,
+                     tp / GREATEST(tp + fp, 1)::DOUBLE AS prec,
+                     CASE WHEN p > 0 THEN tp / p::DOUBLE ELSE 1.0 END AS rec
+              FROM cum)
+            SELECT threshold, tp::BIGINT AS tp, fp::BIGINT AS fp,
+                   fn::BIGINT AS fn,
+                   round(prec, 6) AS precision,
+                   round(rec, 6) AS recall,
+                   round(CASE WHEN prec + rec > 0
+                              THEN 2 * prec * rec / (prec + rec)
+                              ELSE 0 END, 6) AS f1
+            FROM raw
         """,
         "fs_match_weights": """
             WITH RECURSIVE pr AS (

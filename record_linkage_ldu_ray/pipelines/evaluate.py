@@ -87,3 +87,161 @@ def clusters_equal(clusters_ds, expected_path: str) -> tuple[bool, dict]:
         wrong = {k: (g.get(k), e.get(k)) for k in set(g) | set(e) if g.get(k) != e.get(k)}
         diff = {"n_wrong": len(wrong), "sample": dict(list(wrong.items())[:10])}
     return same, diff
+
+
+def threshold_curve(pairs, score_col: str, label_col: str,
+                    num_parts: int | None = None):
+    """Decision-threshold sweep over scored candidate pairs: one row per
+    DISTINCT score value s with the confusion counts and P/R/F1 of the
+    rule "predict match iff score >= s".
+
+    The reference picks its weighted-sum threshold by eyeballing score
+    histograms (analyze.py histogram sheets, README.md:210); this is that
+    calibration step as an exact distributed operator — the full
+    precision-recall curve, not a binned sketch.
+
+    Scale shape: per-batch (score → n_pos, n_tot) partials → one hash
+    exchange merges partials per score → range-exchange sort by score
+    DESC → per-block summaries (first score, block tp/fp sums) → driver
+    prefix-sums O(#blocks) offsets, broadcast once → pass 2 adds
+    offset + within-block cumsum.  Driver state is O(#blocks); rows
+    scale with DISTINCT scores, not pairs.
+
+    Output: (threshold, tp, fp, fn, precision, recall, f1), 6dp ratios;
+    recall defined as 1.0 when there are no positive labels.
+    """
+    from record_linkage_ldu_ray.functions.rounding import round6
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
+
+    P = default_num_parts() if num_parts is None else num_parts
+
+    def _partial(t: pa.Table) -> pa.Table:
+        s = t[score_col].combine_chunks().to_numpy()
+        y = t[label_col].combine_chunks().to_numpy(zero_copy_only=False)
+        y = y.astype(np.int64) & 1
+        uniq, inv = np.unique(s, return_inverse=True)
+        npos = np.bincount(inv, weights=y).astype(np.int64)
+        ntot = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "threshold": pa.array(uniq, pa.float64()),
+                "np_": pa.array(npos, pa.int64()),
+                "nn_": pa.array(ntot - npos, pa.int64()),
+            }
+        )
+
+    partials = pairs.select_columns([score_col, label_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "threshold": pa.array([], pa.float64()),
+                    "np_": pa.array([], pa.int64()),
+                    "nn_": pa.array([], pa.int64()),
+                }
+            )
+        s = t["threshold"].combine_chunks().to_numpy()
+        uniq, inv = np.unique(s, return_inverse=True)
+        npos = np.bincount(inv, weights=t["np_"].combine_chunks().to_numpy())
+        nneg = np.bincount(inv, weights=t["nn_"].combine_chunks().to_numpy())
+        return pa.table(
+            {
+                "threshold": pa.array(uniq, pa.float64()),
+                "np_": pa.array(npos.astype(np.int64), pa.int64()),
+                "nn_": pa.array(nneg.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_score = partitioned_map(partials, ["threshold"], P, _merge)
+    sorted_ds = per_score.sort("threshold", descending=True).materialize()
+
+    def _summary(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "first_s": pa.array([], pa.float64()),
+                    "tp": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "first_s": pa.array([t["threshold"][0].as_py()], pa.float64()),
+                "tp": pa.array([int(t["np_"].combine_chunks().to_numpy().sum())], pa.int64()),
+                "fp": pa.array([int(t["nn_"].combine_chunks().to_numpy().sum())], pa.int64()),
+            }
+        )
+
+    empty = pa.table(
+        {
+            "threshold": pa.array([], pa.float64()),
+            "tp": pa.array([], pa.int64()),
+            "fp": pa.array([], pa.int64()),
+            "fn": pa.array([], pa.int64()),
+            "precision": pa.array([], pa.float64()),
+            "recall": pa.array([], pa.float64()),
+            "f1": pa.array([], pa.float64()),
+        }
+    )
+    summ_parts = [
+        p
+        for p in ray.get(
+            sorted_ds.map_batches(
+                _summary, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if "first_s" in p.schema.names
+    ]
+    import ray.data as _rd
+
+    if not summ_parts:
+        return _rd.from_arrow(empty)
+    summ = pa.concat_tables(summ_parts)
+    first_s = summ["first_s"].to_numpy()
+    tps = summ["tp"].to_numpy()
+    fps = summ["fp"].to_numpy()
+    order = np.argsort(-first_s, kind="stable")
+    tp_off = np.zeros(len(order) + 1, np.int64)
+    fp_off = np.zeros(len(order) + 1, np.int64)
+    np.cumsum(tps[order], out=tp_off[1:])
+    np.cumsum(fps[order], out=fp_off[1:])
+    total_pos = int(tp_off[-1])
+    offset_by_block = {
+        float(first_s[b]): (int(tp_off[i]), int(fp_off[i]))
+        for i, b in enumerate(order)
+    }
+    bcast = ray.put((offset_by_block, total_pos))
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        offsets, n_pos = ray.get(bcast)
+        s = t["threshold"].combine_chunks().to_numpy()
+        npos = t["np_"].combine_chunks().to_numpy()
+        nneg = t["nn_"].combine_chunks().to_numpy()
+        o_tp, o_fp = offsets[float(s[0])]
+        tp = o_tp + np.cumsum(npos)
+        fp = o_fp + np.cumsum(nneg)
+        fn = n_pos - tp
+        prec = tp / np.maximum(tp + fp, 1)
+        rec = tp / n_pos if n_pos > 0 else np.ones_like(prec)
+        denom = prec + rec
+        f1 = np.where(denom > 0, 2 * prec * rec / np.maximum(denom, 1e-300), 0.0)
+        return pa.table(
+            {
+                "threshold": pa.array(s, pa.float64()),
+                "tp": pa.array(tp, pa.int64()),
+                "fp": pa.array(fp, pa.int64()),
+                "fn": pa.array(fn, pa.int64()),
+                "precision": pa.array(round6(prec), pa.float64()),
+                "recall": pa.array(round6(np.asarray(rec, dtype=np.float64)), pa.float64()),
+                "f1": pa.array(round6(f1), pa.float64()),
+            }
+        )
+
+    return sorted_ds.map_batches(
+        _finalize, batch_format="pyarrow", zero_copy_batch=True
+    )
