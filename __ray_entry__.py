@@ -779,6 +779,27 @@ def _q_dedup_threshold_curve(sf_dir: str):
     return threshold_curve(scored, "score", "label")
 
 
+def _q_dedup_bcubed(sf_dir: str):
+    """B-cubed precision/recall/F1 of the fuzzy-dedup clustering (unigram
+    shingle Jaccard >= 0.05, within-source blocking — same params as the
+    fuzzy_dedup_documents query) against the gold classes defined by
+    exact text equality (pipelines/evaluate.py bcubed_metrics)."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import fuzzy_dedup_documents
+    from record_linkage_ldu_ray.pipelines.evaluate import bcubed_metrics
+    from record_linkage_ldu_ray.pipelines.relational import hash_join
+
+    fuzzy = fuzzy_dedup_documents(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), n=2, tau=0.05
+    ).select_columns(["doc_id", "rep_id"])
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    joined = hash_join(fuzzy, docs, on="doc_id")
+    return bcubed_metrics(joined, "rep_id", "text")
+
+
 def _q_fs_match_weights(sf_dir: str):
     """Fellegi-Sunter probabilistic linkage over nation-blocked customer
     pairs: three binary agreement fields (market segment, acct-balance
@@ -1443,18 +1464,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "content_fingerprints": _q_content_fingerprints,
         "distinct_tokens_exact": _q_distinct_tokens_exact,
-        "vocab_top_tokens": _q_vocab_top_tokens,
-        "tfidf_top_terms": _q_tfidf_top_terms,
         "pack_documents": _q_pack_documents,
         "redact_pii": _q_redact_pii,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "fs_match_weights": _q_fs_match_weights,
         "snm_pair_scores": _q_snm_pair_scores,
         "dedup_threshold_curve": _q_dedup_threshold_curve,
+        "dedup_bcubed": _q_dedup_bcubed,
         "filter_short_docs": _q_filter_short_docs,
         # -- sampling / splits --
         "hash_split": _q_hash_split,
         "chunk_documents": _q_chunk_documents,
+        "vocab_top_tokens": _q_vocab_top_tokens,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         # -- multimodal plumbing --
         "payload_metadata": _q_payload_metadata,
         # ======== driver 50-entry window boundary (entries above have
@@ -2069,6 +2091,50 @@ def oracle_sql() -> dict[str, str]:
                    base.n_chars_max, base.n_chars_sum,
                    lm.lang_mode, sm.source_mode
             FROM base JOIN lm USING (rep_id) JOIN sm USING (rep_id)
+        """,
+        "dedup_bcubed": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, source, {_WS_WORDS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(range(1, len(w)),
+                        i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS s
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE len(a.s) + len(b.s) > 0
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    >= 0.05),
+            ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(src, dst) AS (
+              SELECT a, a FROM ed
+              UNION
+              SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+            rep AS (SELECT src AS doc_id, min(dst) AS rep_id
+                    FROM reach GROUP BY src),
+            asg AS (
+              SELECT d.doc_id, coalesce(rep.rep_id, d.doc_id) AS pred,
+                     d.text AS tru
+              FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id),
+            cells AS (
+              SELECT pred, tru, count(*)::DOUBLE AS c
+              FROM asg GROUP BY 1, 2),
+            ps AS (SELECT pred, sum(c) AS s FROM cells GROUP BY 1),
+            ts AS (SELECT tru, sum(c) AS s FROM cells GROUP BY 1),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM asg),
+            pv AS (SELECT sum(c * c / ps.s) / (SELECT n FROM nn) AS v
+                   FROM cells JOIN ps USING (pred)),
+            rv AS (SELECT sum(c * c / ts.s) / (SELECT n FROM nn) AS v
+                   FROM cells JOIN ts USING (tru))
+            SELECT (SELECT n FROM nn)::BIGINT AS n_records,
+                   round((SELECT v FROM pv), 6) AS bcubed_precision,
+                   round((SELECT v FROM rv), 6) AS bcubed_recall,
+                   round(CASE WHEN (SELECT v FROM pv) + (SELECT v FROM rv) > 0
+                              THEN 2 * (SELECT v FROM pv) * (SELECT v FROM rv)
+                                   / ((SELECT v FROM pv) + (SELECT v FROM rv))
+                              ELSE 0 END, 6) AS bcubed_f1
         """,
         "dedup_threshold_curve": f"""
             WITH toks AS (

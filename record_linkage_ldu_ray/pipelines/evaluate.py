@@ -245,3 +245,116 @@ def threshold_curve(pairs, score_col: str, label_col: str,
     return sorted_ds.map_batches(
         _finalize, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def bcubed_metrics(assignments, pred_col: str, true_col: str,
+                   num_parts: int | None = None):
+    """B-cubed precision / recall / F1 of a predicted clustering against
+    gold classes (Bagga & Baldwin 1998, "Algorithms for scoring
+    coreference chains" — the standard extrinsic ER clustering metric):
+
+      B³ precision = (1/N) Σ_records |pred(r) ∩ true(r)| / |pred(r)|
+                   = (1/N) Σ_{(p,t) cells} c² / |p|
+      B³ recall    = symmetric with |t|
+
+    Scale shape: per-batch (pred, true) cell partials → ONE exchange
+    merges cells (rows = distinct cluster×class pairs, ≪ records) →
+    the small cell table is materialized once and re-keyed by pred and
+    by true; each partition owns whole groups, so the per-group
+    Σc²/Σc reduces to a SINGLE scalar partial per partition and the
+    driver sums O(#partitions) numbers.  Cell counts are reduced in
+    float64 (Σc² overflows int64 near 10¹⁰-record clusters).
+
+    Output: ONE row (n_records, bcubed_precision, bcubed_recall,
+    bcubed_f1), ratios 6dp.
+    """
+    import polars as pl
+
+    from record_linkage_ldu_ray.functions.rounding import round6
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
+
+    P = default_num_parts() if num_parts is None else num_parts
+
+    def _cell_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([pred_col, true_col]))
+        g = df.group_by([pred_col, true_col]).len(name="c")
+        out = g.to_arrow()
+        return out.set_column(
+            out.schema.get_field_index("c"), "c", out["c"].cast(pa.int64())
+        )
+
+    partials = assignments.select_columns([pred_col, true_col]).map_batches(
+        _cell_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _cell_merge(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        df = pl.from_arrow(t)
+        return df.group_by([pred_col, true_col]).agg(
+            pl.col("c").sum()
+        ).to_arrow()
+
+    cells = partitioned_map(partials, [pred_col, true_col], P, _cell_merge)
+    cells = cells.materialize()  # small aggregate: distinct cluster×class
+
+    def _group_contrib(key: str):
+        def _f(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "contrib": pa.array([], pa.float64()),
+                        "n": pa.array([], pa.float64()),
+                    }
+                )
+            df = pl.from_arrow(t)
+            c = pl.col("c").cast(pl.Float64)
+            g = df.group_by(key).agg(
+                s=c.sum(), q=(c * c).sum()
+            )
+            return pa.table(
+                {
+                    "contrib": pa.array(
+                        [float((g["q"] / g["s"]).sum())], pa.float64()
+                    ),
+                    "n": pa.array([float(g["s"].sum())], pa.float64()),
+                }
+            )
+
+        return _f
+
+    prec_parts = partitioned_map(cells, [pred_col], P, _group_contrib(pred_col))
+    rec_parts = partitioned_map(cells, [true_col], P, _group_contrib(true_col))
+
+    def _sum(parts) -> tuple[float, float]:
+        tot_c, tot_n = 0.0, 0.0
+        for b in parts.iter_batches(batch_format="pyarrow"):
+            if "contrib" not in b.schema.names:
+                continue
+            tot_c += float(np.asarray(b["contrib"]).sum())
+            tot_n += float(np.asarray(b["n"]).sum())
+        return tot_c, tot_n
+
+    pc, n1 = _sum(prec_parts)
+    rc, n2 = _sum(rec_parts)
+    n = n1  # == n2: both sum every cell count once
+    if n == 0:
+        prec = rec = f1 = 1.0
+    else:
+        prec = pc / n
+        rec = rc / n
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+    import ray.data as _rd
+
+    arr = np.array([prec, rec, f1], dtype=np.float64)
+    r = round6(arr)
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "n_records": pa.array([int(n)], pa.int64()),
+                "bcubed_precision": pa.array([r[0]], pa.float64()),
+                "bcubed_recall": pa.array([r[1]], pa.float64()),
+                "bcubed_f1": pa.array([r[2]], pa.float64()),
+            }
+        )
+    )
