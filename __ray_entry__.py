@@ -779,6 +779,22 @@ def _q_dedup_threshold_curve(sf_dir: str):
     return threshold_curve(scored, "score", "label")
 
 
+def _q_phonetic_block_stats(sf_dir: str):
+    """Soundex blocking-key profile of part names: per phonetic code, the
+    records co-located and distinct first tokens (pipelines/problink.py
+    phonetic_block_stats).  The DuckDB oracle replays the classic Soundex
+    with a translate + index-lambda adjacent-collapse (RE2 has no
+    backreferences, so the collapse is a list_filter on d[i] <> d[i-1])."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.problink import phonetic_block_stats
+
+    return phonetic_block_stats(
+        ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"]),
+        "p_name",
+    )
+
+
 def _q_dedup_bcubed(sf_dir: str):
     """B-cubed precision/recall/F1 of the fuzzy-dedup clustering (unigram
     shingle Jaccard >= 0.05, within-source blocking — same params as the
@@ -1475,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- sampling / splits --
         "hash_split": _q_hash_split,
         "chunk_documents": _q_chunk_documents,
+        "phonetic_block_stats": _q_phonetic_block_stats,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         # -- multimodal plumbing --
@@ -2091,6 +2108,29 @@ def oracle_sql() -> dict[str, str]:
                    base.n_chars_max, base.n_chars_sum,
                    lm.lang_mode, sm.source_mode
             FROM base JOIN lm USING (rep_id) JOIN sm USING (rep_id)
+        """,
+        "phonetic_block_stats": """
+            WITH tok AS (
+              SELECT regexp_replace(string_split(lower(p_name), ' ')[1],
+                                    '[^a-z]', '', 'g') AS tk
+              FROM part),
+            sdx AS (
+              SELECT tk,
+                     CASE WHEN tk = '' THEN '' ELSE
+                       substr(upper(substr(tk, 1, 1)) ||
+                              coalesce(array_to_string(
+                                list_filter(d, (x, i) -> i > 1 AND x <> '0'
+                                                     AND x <> d[i - 1]),
+                                ''), '')
+                              || '000', 1, 4)
+                     END AS code
+              FROM (SELECT tk, list_transform(string_split(tk, ''),
+                      c -> translate(c, 'abcdefghijklmnopqrstuvwxyz',
+                                     '01230120022455012623010202')) AS d
+                    FROM tok))
+            SELECT code, count(*)::BIGINT AS n_records,
+                   count(DISTINCT tk)::BIGINT AS n_tokens
+            FROM sdx GROUP BY code
         """,
         "dedup_bcubed": f"""
             WITH RECURSIVE toks AS (

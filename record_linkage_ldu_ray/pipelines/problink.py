@@ -237,3 +237,76 @@ def fs_match_weights(
     out = pairs.map_batches(_annotate, batch_format="pyarrow",
                             zero_copy_batch=True)
     return out, params
+
+
+def phonetic_block_stats(ds: "ray.data.Dataset", name_col: str,
+                         num_parts: int | None = None):
+    """Phonetic (Soundex) blocking-key profile of a name column: one row
+    per code with the records it would co-locate and the distinct first
+    tokens behind it — the audit you run before choosing the flagship's
+    ``prefix_key_kind="soundex"`` blocking (stages/blocking.py; the
+    reference's "matching countries" key, README.md:245, generalised to
+    name data).
+
+    Key = Soundex of the first whitespace token of the lower-cased name,
+    non-alpha stripped (functions/text.py soundex — the classic 4-char
+    code).  Scale shape: per-batch (code, token) partials — the Python
+    soundex runs once per DISTINCT token via soundex_array's memoized
+    take, not per row — then ONE exchange keyed by code; per-partition
+    merge counts records and distinct tokens vectorized."""
+    import polars as pl
+
+    from record_linkage_ldu_ray.functions.text import soundex_array
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
+
+    P = default_num_parts() if num_parts is None else num_parts
+
+    def _prep(t: pa.Table) -> pa.Table:
+        s = (
+            pl.from_arrow(t[name_col].combine_chunks())
+            .cast(pl.String)
+            .fill_null("")
+            .str.to_lowercase()
+            .str.split(" ")
+            .list.first()
+            .fill_null("")
+            .str.replace_all(r"[^a-z]", "")
+        )
+        df = pl.DataFrame({"tk": s}).group_by("tk").len(name="cnt")
+        tks = df["tk"].to_numpy()
+        codes = soundex_array(tks) if len(tks) else np.empty(0, object)
+        return pa.table(
+            {
+                "code": pa.array(codes.astype(str), pa.string()),
+                "tk": pa.array(tks.astype(str), pa.string()),
+                "cnt": pa.array(df["cnt"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([name_col]).map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _agg(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "code": pa.array([], pa.string()),
+                    "n_records": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        df = pl.from_arrow(t)
+        g = df.group_by("code").agg(
+            n_records=pl.col("cnt").sum(),
+            n_tokens=pl.col("tk").n_unique(),
+        )
+        return pa.table(
+            {
+                "code": g["code"].to_arrow().cast(pa.string()),
+                "n_records": pa.array(g["n_records"].to_numpy().astype(np.int64), pa.int64()),
+                "n_tokens": pa.array(g["n_tokens"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    return partitioned_map(partials, ["code"], P, _agg)

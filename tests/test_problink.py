@@ -141,3 +141,29 @@ class TestFsMatchWeights:
         manual = (bits * agree_w + (1 - bits) * dis_w).sum(axis=1)
         merged = df.sort_values("id_a").match_weight.to_numpy()
         assert np.allclose(merged, manual, atol=1e-6)
+
+
+class TestPhoneticBlockStats:
+    def test_known_codes(self, ray_session):
+        from record_linkage_ldu_ray.pipelines.problink import phonetic_block_stats
+
+        names = ["Robert smith", "Rupert jones", "Ashcraft x", "Ashcroft y",
+                 "robert brown", ""]
+        ds = ray.data.from_arrow(pa.table({"nm": pa.array(names)}))
+        df = phonetic_block_stats(ds, "nm").to_pandas()
+        got = {r.code: (r.n_records, r.n_tokens) for r in df.itertuples()}
+        # robert and rupert share R163; ashcraft/ashcroft share A226
+        assert got["R163"] == (3, 2)
+        assert got["A226"] == (2, 2)
+        assert got[""] == (1, 1)
+
+    def test_partition_invariance(self, ray_session):
+        from record_linkage_ldu_ray.pipelines.problink import phonetic_block_stats
+
+        names = [f"name{i % 7}x suffix" for i in range(200)]
+        ds = ray.data.from_arrow(pa.table({"nm": pa.array(names)}))
+        a = phonetic_block_stats(ds.repartition(3), "nm", num_parts=2).to_pandas()
+        b = phonetic_block_stats(ds.repartition(11), "nm", num_parts=9).to_pandas()
+        a = a.sort_values("code").reset_index(drop=True)
+        b = b.sort_values("code").reset_index(drop=True)
+        assert a.equals(b)
