@@ -71,7 +71,16 @@ def block_pairs(
 
     P = default_num_parts() if num_parts is None else num_parts
     fields = [(f"{c}_a", f"{c}_b", c) for c in payload_cols]
-    in_schema = ds.schema().base_schema  # parquet metadata — no execution
+    schema_obj = ds.schema()
+    if schema_obj is None:
+        # mapped 0-row lineage reports no schema: payload dtypes are
+        # unknowable — emit a typed empty pair set (id columns only)
+        return ray.data.from_arrow(
+            pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64())]
+            ).empty_table()
+        )
+    in_schema = schema_obj.base_schema  # parquet metadata — no execution
     out_fields = [pa.field("id_a", pa.int64()), pa.field("id_b", pa.int64())]
     for name_a, name_b, c in fields:
         typ = in_schema.field(c).type

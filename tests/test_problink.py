@@ -167,3 +167,39 @@ class TestPhoneticBlockStats:
         a = a.sort_values("code").reset_index(drop=True)
         b = b.sort_values("code").reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestEmptyInputsProblink:
+    def test_block_pairs_schema_less_lineage(self, ray_session):
+        t = pa.table(
+            {"rid": pa.array([1], pa.int64()), "s": pa.array(["x"]),
+             "blk": pa.array(["b"])}
+        )
+        mapped = ray.data.from_arrow(t).filter(lambda r: False).materialize()
+        out = block_pairs(mapped, "blk", "rid", ["s"])
+        assert out.count() == 0
+
+    def test_typed_empty_all_new_ops(self, ray_session):
+        from record_linkage_ldu_ray.pipelines.editjoin import edit_distance_pairs
+        from record_linkage_ldu_ray.pipelines.evaluate import (
+            bcubed_metrics,
+            threshold_curve,
+        )
+        from record_linkage_ldu_ray.pipelines.problink import phonetic_block_stats
+
+        t = pa.table(
+            {
+                "rid": pa.array([], pa.int64()),
+                "s": pa.array([], pa.string()),
+                "blk": pa.array([], pa.string()),
+                "score": pa.array([], pa.float64()),
+                "label": pa.array([], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        assert edit_distance_pairs(ds, "rid", "s", k=1).count() == 0
+        assert block_pairs(ds, "blk", "rid", ["s"]).count() == 0
+        assert threshold_curve(ds, "score", "label").count() == 0
+        assert phonetic_block_stats(ds, "s").count() == 0
+        r = bcubed_metrics(ds, "blk", "s").to_pandas().iloc[0]
+        assert r.n_records == 0 and r.bcubed_f1 == 1.0
