@@ -779,6 +779,19 @@ def _q_dedup_threshold_curve(sf_dir: str):
     return threshold_curve(scored, "score", "label")
 
 
+def _q_cluster_cohesion(sf_dir: str):
+    """Intra-cluster cohesion audit of the fuzzy-dedup clustering: member
+    count + min/avg exact token-set Jaccard over all intra-cluster pairs,
+    non-singleton clusters only (docdedup.py cluster_cohesion_report)."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import cluster_cohesion_report
+
+    return cluster_cohesion_report(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet"), n=2, tau=0.05
+    )
+
+
 def _q_phonetic_block_stats(sf_dir: str):
     """Soundex blocking-key profile of part names: per phonetic code, the
     records co-located and distinct first tokens (pipelines/problink.py
@@ -1492,6 +1505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "chunk_documents": _q_chunk_documents,
         "phonetic_block_stats": _q_phonetic_block_stats,
+        "cluster_cohesion": _q_cluster_cohesion,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         # -- multimodal plumbing --
@@ -2108,6 +2122,51 @@ def oracle_sql() -> dict[str, str]:
                    base.n_chars_max, base.n_chars_sum,
                    lm.lang_mode, sm.source_mode
             FROM base JOIN lm USING (rep_id) JOIN sm USING (rep_id)
+        """,
+        "cluster_cohesion": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, source, {_WS_WORDS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(range(1, len(w)),
+                        i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS s
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE len(a.s) + len(b.s) > 0
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    >= 0.05),
+            ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(src, dst) AS (
+              SELECT a, a FROM ed
+              UNION
+              SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+            rep AS (SELECT src AS doc_id, min(dst) AS rep_id
+                    FROM reach GROUP BY src),
+            asg AS (
+              SELECT d.doc_id, coalesce(rep.rep_id, d.doc_id) AS rep_id
+              FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id),
+            memb AS (SELECT rep_id, count(*)::BIGINT AS n_members
+                     FROM asg GROUP BY rep_id),
+            tk AS (SELECT doc_id, list_distinct({_WS_WORDS}) AS w
+                   FROM documents),
+            rows_ AS (SELECT asg.rep_id, asg.doc_id, tk.w
+                      FROM asg JOIN tk USING (doc_id)),
+            intra AS (
+              SELECT a.rep_id,
+                     CASE WHEN len(a.w) + len(b.w) > 0 THEN
+                       CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                       / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))
+                     ELSE 0 END AS j
+              FROM rows_ a JOIN rows_ b
+                ON a.rep_id = b.rep_id AND a.doc_id < b.doc_id)
+            SELECT i.rep_id, m.n_members, count(*)::BIGINT AS n_pairs,
+                   round(min(i.j), 6) AS min_jaccard,
+                   round(avg(i.j), 6) AS avg_jaccard
+            FROM intra i JOIN memb m USING (rep_id)
+            GROUP BY i.rep_id, m.n_members
         """,
         "phonetic_block_stats": """
             WITH tok AS (

@@ -2047,3 +2047,102 @@ def blocking_quality(
     from record_linkage_ldu_ray.runtime import partitioned_map
 
     return partitioned_map(prepped, ["part"], 1, _audit)
+
+
+# ---------------------------------------------------------------------------
+# cluster cohesion audit
+
+
+def cluster_cohesion_report(
+    ds: "ray.data.Dataset",
+    block_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+    tau: float = 0.05,
+    num_parts: int | None = None,
+):
+    """Intra-cluster cohesion audit of the fuzzy-dedup clustering: for
+    every non-singleton cluster, the member count and the min / avg exact
+    token-set Jaccard over ALL intra-cluster pairs.
+
+    The ER analog of the reference's group-length stats sheets
+    (analyze.py group stats, README.md:258 review workflow): after
+    transitive clustering, min_jaccard ≪ avg_jaccard flags groups glued
+    together by one weak edge — exactly the clusters a reviewer should
+    open first.
+
+    Scale shape: clusters come from :func:`fuzzy_dedup_documents`
+    (pairs → distributed CC); the doc texts ride a ``hash_join`` on the
+    id; ONE exchange keyed by ``rep_id`` co-locates each cluster; the
+    per-partition kernel enumerates each cluster's triangle vectorized
+    and scores it with the shared float64 Jaccard merge kernel.
+    O(cluster²) per cluster — dedup clusters are near-clique by
+    construction, so sizes track true duplicate multiplicity, not corpus
+    size.
+
+    Output: (rep_id, n_members, n_pairs, min_jaccard, avg_jaccard) for
+    clusters with >= 2 members, ratios 6dp.
+    """
+    from record_linkage_ldu_ray.pipelines.relational import hash_join
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
+
+    P = default_num_parts() if num_parts is None else num_parts
+    clusters = fuzzy_dedup_documents(
+        ds, block_col=block_col, id_col=id_col, text_col=text_col,
+        n=n, tau=tau, num_parts=num_parts,
+    ).select_columns([id_col, "rep_id"])
+    docs = ds.select_columns([id_col, text_col])
+    joined = hash_join(clusters, docs, on=id_col)
+
+    out_schema = pa.schema(
+        [
+            ("rep_id", pa.int64()),
+            ("n_members", pa.int64()),
+            ("n_pairs", pa.int64()),
+            ("min_jaccard", pa.float64()),
+            ("avg_jaccard", pa.float64()),
+        ]
+    )
+
+    def _audit(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t.select([id_col, "rep_id", text_col]))
+        toks = _ws_token_lists(t[text_col])
+        df = df.with_columns(toks.list.unique().list.sort().alias("_toks"))
+        pairs = _pairs_within_groups(df, "rep_id", id_col)
+        if len(pairs) == 0:
+            return out_schema.empty_table()
+        ii, jj = pairs[:, 0], pairs[:, 1]
+        tok_arr = df["_toks"].to_arrow()
+        if pa.types.is_large_list(tok_arr.type):
+            tok_arr = tok_arr.cast(pa.list_(pa.string()))
+        offsets = tok_arr.offsets.to_numpy().astype(np.int64)
+        flat = fnv1a_hash_strings(tok_arr.flatten())
+        lens = offsets[1:] - offsets[:-1]
+        parents = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = flat[np.lexsort((flat, parents))]
+        ja = _pair_jaccard_f64(flat, offsets, ii, jj)
+        reps = df["rep_id"].to_numpy()
+        pair_df = pl.DataFrame(
+            {"rep_id": reps[ii], "j": ja}
+        ).group_by("rep_id").agg(
+            n_pairs=pl.len().cast(pl.Int64),
+            min_j=pl.col("j").min(),
+            avg_j=pl.col("j").mean(),
+        )
+        memb = df.group_by("rep_id").len(name="n_members")
+        g = pair_df.join(memb, on="rep_id").sort("rep_id")
+        return pa.table(
+            {
+                "rep_id": pa.array(g["rep_id"].to_numpy().astype(np.int64), pa.int64()),
+                "n_members": pa.array(g["n_members"].to_numpy().astype(np.int64), pa.int64()),
+                "n_pairs": pa.array(g["n_pairs"].to_numpy().astype(np.int64), pa.int64()),
+                "min_jaccard": pa.array(round6(g["min_j"].to_numpy().astype(np.float64)), pa.float64()),
+                "avg_jaccard": pa.array(round6(g["avg_j"].to_numpy().astype(np.float64)), pa.float64()),
+            },
+            schema=out_schema,
+        )
+
+    return partitioned_map(joined, ["rep_id"], P, _audit)

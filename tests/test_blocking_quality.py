@@ -58,3 +58,42 @@ class TestBlockingQuality:
         # only the exact dup (0,1) survives tau=0.99; it shares a block
         assert r.n_true_pairs == 1 and r.n_covered_true_pairs == 1
         assert r.pairs_completeness == 1.0
+
+
+class TestClusterCohesion:
+    def _docs(self):
+        texts = [
+            "alpha beta gamma delta",       # 0 \ family A: pairwise j known
+            "alpha beta gamma delta",       # 1 / (0,1)=1.0
+            "alpha beta gamma epsilon",     # 2   (0,2)=(1,2)=3/5=0.6
+            "zeta eta theta iota kappa",    # 3   singleton (no match)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "source": pa.array(["s0"] * len(texts)),
+                "text": pa.array(texts),
+            }
+        )
+
+    def test_hand_counted(self, ray_session):
+        from record_linkage_ldu_ray.pipelines.docdedup import cluster_cohesion_report
+
+        df = cluster_cohesion_report(
+            ray.data.from_arrow(self._docs()), n=2, tau=0.05
+        ).to_pandas()
+        assert len(df) == 1  # one non-singleton cluster (0,1,2)
+        r = df.iloc[0]
+        assert r.rep_id == 0 and r.n_members == 3 and r.n_pairs == 3
+        assert abs(r.min_jaccard - 0.6) < 1e-6
+        assert abs(r.avg_jaccard - (1.0 + 0.6 + 0.6) / 3) < 1e-6
+
+    def test_partition_invariance(self, ray_session):
+        from record_linkage_ldu_ray.pipelines.docdedup import cluster_cohesion_report
+
+        ds = ray.data.from_arrow(self._docs())
+        a = cluster_cohesion_report(ds.repartition(2), num_parts=3).to_pandas()
+        b = cluster_cohesion_report(ds.repartition(4), num_parts=7).to_pandas()
+        assert a.sort_values("rep_id").reset_index(drop=True).equals(
+            b.sort_values("rep_id").reset_index(drop=True)
+        )
