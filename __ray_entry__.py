@@ -889,6 +889,67 @@ def _q_fs_match_weights(sf_dir: str):
     return out
 
 
+def _q_fs_decisions(sf_dir: str):
+    """Full Fellegi-Sunter decision rule over the same nation-blocked
+    customer pairs as fs_match_weights: match / possible / non_match
+    bands at designated error rates mu = lam = 0.001
+    (pipelines/problink.py fs_decisions; oracle replays EM + the
+    cumulative-probability threshold rule with window sums)."""
+    import numpy as np
+    import pyarrow as _pa
+
+    import ray.data
+
+    from record_linkage_ldu_ray.functions.sim import (
+        levenshtein_distance_batch_arrow,
+    )
+    from record_linkage_ldu_ray.pipelines.problink import (
+        block_pairs,
+        fs_decisions,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=[
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        ],
+    )
+    pairs = block_pairs(
+        ds, "c_nationkey", "c_custkey",
+        ["c_name", "c_acctbal", "c_mktsegment"],
+    )
+
+    def _bits(t: _pa.Table) -> _pa.Table:
+        seg = _pa.compute.equal(
+            t["c_mktsegment_a"], t["c_mktsegment_b"]
+        ).to_numpy(zero_copy_only=False)
+        bal_a = t["c_acctbal_a"].combine_chunks().to_numpy()
+        bal_b = t["c_acctbal_b"].combine_chunks().to_numpy()
+        bal = np.floor(bal_a / 1000.0) == np.floor(bal_b / 1000.0)
+        dist = levenshtein_distance_batch_arrow(
+            t["c_name_a"].combine_chunks(), t["c_name_b"].combine_chunks()
+        )
+        return _pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "agr_seg": _pa.array(seg.astype(np.int64), _pa.int64()),
+                "agr_bal": _pa.array(bal.astype(np.int64), _pa.int64()),
+                "agr_name": _pa.array((dist <= 1).astype(np.int64), _pa.int64()),
+            }
+        )
+
+    bits = pairs.map_batches(_bits, batch_format="pyarrow", zero_copy_batch=True)
+    out, _params = fs_decisions(
+        bits, ["agr_seg", "agr_bal", "agr_name"], mu=0.001, lam=0.001
+    )
+    return out
+
+
 def _q_snm_pair_scores(sf_dir: str):
     """Sorted-neighborhood blocking (window 4 over the text-prefix sort
     key) + per-pair multi-kernel similarity breakdown: integer Levenshtein
@@ -1459,7 +1520,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conversation_stats": _q_conversation_stats,
         "remove_boilerplate_turns": _q_remove_boilerplate_turns,
         "sessionize_events": _q_sessionize_events,
-        "top_events_per_user": _q_top_events_per_user,
         # -- dedup suite --
         "exact_dedup": _q_exact_dedup,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -1497,12 +1557,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "fs_match_weights": _q_fs_match_weights,
+        "fs_decisions": _q_fs_decisions,
         "snm_pair_scores": _q_snm_pair_scores,
         "dedup_threshold_curve": _q_dedup_threshold_curve,
         "dedup_bcubed": _q_dedup_bcubed,
         "filter_short_docs": _q_filter_short_docs,
         # -- sampling / splits --
         "hash_split": _q_hash_split,
+        "top_events_per_user": _q_top_events_per_user,
         "chunk_documents": _q_chunk_documents,
         "phonetic_block_stats": _q_phonetic_block_stats,
         "cluster_cohesion": _q_cluster_cohesion,
@@ -2190,6 +2252,85 @@ def oracle_sql() -> dict[str, str]:
             SELECT code, count(*)::BIGINT AS n_records,
                    count(DISTINCT tk)::BIGINT AS n_tokens
             FROM sdx GROUP BY code
+        """,
+        "fs_decisions": """
+            WITH RECURSIVE pr AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     CASE WHEN a.c_mktsegment = b.c_mktsegment
+                          THEN 1 ELSE 0 END AS s,
+                     CASE WHEN floor(a.c_acctbal / 1000) = floor(b.c_acctbal / 1000)
+                          THEN 1 ELSE 0 END AS bl,
+                     CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                          THEN 1 ELSE 0 END AS nm
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey),
+            pat AS (
+              SELECT s, bl, nm, count(*)::BIGINT AS cnt
+              FROM pr GROUP BY 1, 2, 3),
+            em(it, m, u, p) AS (
+              SELECT 0, CAST([0.9, 0.9, 0.9] AS DOUBLE[]),
+                     CAST([0.1, 0.1, 0.1] AS DOUBLE[]), CAST(0.1 AS DOUBLE)
+              UNION ALL
+              SELECT it + 1, st.m_new, st.u_new, st.p_new
+              FROM em, LATERAL (
+                WITH w AS (
+                  SELECT s AS a1, bl AS a2, nm AS a3, cnt,
+                    p * (a1*m[1] + (1-a1)*(1-m[1]))
+                      * (a2*m[2] + (1-a2)*(1-m[2]))
+                      * (a3*m[3] + (1-a3)*(1-m[3])) AS num,
+                    (1-p) * (a1*u[1] + (1-a1)*(1-u[1]))
+                          * (a2*u[2] + (1-a2)*(1-u[2]))
+                          * (a3*u[3] + (1-a3)*(1-u[3])) AS den
+                  FROM pat),
+                g AS (
+                  SELECT sum(cnt * num/(num+den)) AS wm,
+                         sum(cnt * (1 - num/(num+den))) AS wu,
+                         sum(cnt * num/(num+den) * a1) AS m1,
+                         sum(cnt * num/(num+den) * a2) AS m2,
+                         sum(cnt * num/(num+den) * a3) AS m3,
+                         sum(cnt * (1-num/(num+den)) * a1) AS u1,
+                         sum(cnt * (1-num/(num+den)) * a2) AS u2,
+                         sum(cnt * (1-num/(num+den)) * a3) AS u3,
+                         sum(cnt) AS n
+                  FROM w)
+                SELECT [m1/wm, m2/wm, m3/wm] AS m_new,
+                       [u1/wu, u2/wu, u3/wu] AS u_new,
+                       wm/n AS p_new
+                FROM g) st
+              WHERE it < 30),
+            fin AS (SELECT m, u, p FROM em WHERE it = 30),
+            pat8 AS (
+              SELECT pid, pid % 2 AS a1, (pid // 2) % 2 AS a2,
+                     (pid // 4) % 2 AS a3
+              FROM (SELECT unnest(range(0, 8)) AS pid)),
+            pstats AS (
+              SELECT pid, a1, a2, a3,
+                       a1 * log2(m[1]/u[1]) + (1-a1) * log2((1-m[1])/(1-u[1]))
+                     + a2 * log2(m[2]/u[2]) + (1-a2) * log2((1-m[2])/(1-u[2]))
+                     + a3 * log2(m[3]/u[3]) + (1-a3) * log2((1-m[3])/(1-u[3]))
+                       AS wgt,
+                     (a1*m[1]+(1-a1)*(1-m[1])) * (a2*m[2]+(1-a2)*(1-m[2]))
+                       * (a3*m[3]+(1-a3)*(1-m[3])) AS pm_,
+                     (a1*u[1]+(1-a1)*(1-u[1])) * (a2*u[2]+(1-a2)*(1-u[2]))
+                       * (a3*u[3]+(1-a3)*(1-u[3])) AS pu_
+              FROM pat8, fin),
+            dec AS (
+              SELECT pid, a1, a2, a3, wgt,
+                     sum(pu_) OVER (ORDER BY wgt DESC, pid ASC) <= 0.001
+                       AS is_match,
+                     sum(pm_) OVER (ORDER BY wgt ASC, pid ASC) <= 0.001
+                       AS is_non
+              FROM pstats)
+            SELECT pr.id_a, pr.id_b,
+                   pr.s::BIGINT AS agr_seg, pr.bl::BIGINT AS agr_bal,
+                   pr.nm::BIGINT AS agr_name,
+                   round(dec.wgt, 6) AS match_weight,
+                   CASE WHEN dec.is_match THEN 'match'
+                        WHEN dec.is_non THEN 'non_match'
+                        ELSE 'possible' END AS decision
+            FROM pr JOIN dec
+              ON pr.s = dec.a1 AND pr.bl = dec.a2 AND pr.nm = dec.a3
         """,
         "dedup_bcubed": f"""
             WITH RECURSIVE toks AS (

@@ -319,3 +319,70 @@ def phonetic_block_stats(ds: "ray.data.Dataset", name_col: str,
         )
 
     return partitioned_map(partials, ["code"], P, _agg)
+
+
+def fs_decisions(
+    pairs: "ray.data.Dataset",
+    agreement_cols: list[str],
+    mu: float = 0.001,
+    lam: float = 0.001,
+    iters: int = 30,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.1,
+):
+    """The full Fellegi–Sunter decision rule: classify every candidate
+    pair into ``match`` / ``possible`` / ``non_match`` using the optimal
+    two-threshold rule at designated error rates (Fellegi & Sunter 1969
+    §3: the rule minimising the possible-match region subject to
+    P(link | U) <= mu and P(non-link | M) <= lam).
+
+    Patterns ordered by (weight DESC, pattern ASC) join the MATCH region
+    while their cumulative u-probability stays <= mu; ordered by (weight
+    ASC, pattern ASC) they join the NON-MATCH region while cumulative
+    m-probability stays <= lam; everything else is ``possible`` (sent to
+    clerical review — the reference's manual-review sheet population,
+    README.md:258).  m/u/p come from the same EM fit as
+    :func:`fs_match_weights`; the decision lookup is 2^K small, applied
+    per batch as one bit-pack + take.  Returns (annotated_dataset,
+    FSParams)."""
+    K = len(agreement_cols)
+    if not 1 <= K <= 16:
+        raise ValueError("need 1..16 agreement columns")
+    hist = pattern_histogram(pairs, agreement_cols)
+    params = em_fit(hist, K, iters=iters, init_m=init_m, init_u=init_u,
+                    init_p=init_p)
+
+    pats = np.arange(1 << K, dtype=np.int64)
+    a = ((pats[:, None] >> np.arange(K)) & 1).astype(np.float64)
+    pm = np.prod(np.where(a == 1, params.m, 1 - params.m), axis=1)
+    pu = np.prod(np.where(a == 1, params.u, 1 - params.u), axis=1)
+    with np.errstate(divide="ignore"):
+        agree_w = np.log2(params.m / params.u)
+        disagree_w = np.log2((1 - params.m) / (1 - params.u))
+    weight = (a * agree_w + (1 - a) * disagree_w).sum(axis=1)
+
+    # match region: greedy by (weight desc, pattern asc) under Σ pu <= mu
+    order_hi = np.lexsort((pats, -weight))
+    cum_u = np.cumsum(pu[order_hi])
+    is_match = np.zeros(1 << K, dtype=bool)
+    is_match[order_hi[cum_u <= mu]] = True
+    # non-match region: greedy by (weight asc, pattern asc) under Σ pm <= lam
+    order_lo = np.lexsort((pats, weight))
+    cum_m = np.cumsum(pm[order_lo])
+    is_non = np.zeros(1 << K, dtype=bool)
+    is_non[order_lo[cum_m <= lam]] = True
+    decision = np.where(is_match, "match",
+                        np.where(is_non, "non_match", "possible"))
+
+    def _annotate(t: pa.Table) -> pa.Table:
+        pat = _pack_bits(t, agreement_cols)
+        return t.append_column(
+            "match_weight", pa.array(round6(weight[pat]), pa.float64())
+        ).append_column(
+            "decision", pa.array(decision[pat], pa.string())
+        )
+
+    out = pairs.map_batches(_annotate, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return out, params

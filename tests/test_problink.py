@@ -203,3 +203,63 @@ class TestEmptyInputsProblink:
         assert phonetic_block_stats(ds, "s").count() == 0
         r = bcubed_metrics(ds, "blk", "s").to_pandas().iloc[0]
         assert r.n_records == 0 and r.bcubed_f1 == 1.0
+
+
+class TestFsDecisions:
+    def test_three_regions_and_laws(self, ray_session):
+        from record_linkage_ldu_ray.pipelines.problink import fs_decisions
+
+        rng = np.random.default_rng(21)
+        n = 20000
+        is_match = rng.random(n) < 0.15
+        m = np.array([0.97, 0.95, 0.9])
+        u = np.array([0.05, 0.1, 0.15])
+        probs = np.where(is_match[:, None], m, u)
+        bits = (rng.random((n, 3)) < probs).astype(np.int64)
+        t = pa.table(
+            {
+                "id_a": pa.array(np.arange(n), pa.int64()),
+                "id_b": pa.array(np.arange(n) + n, pa.int64()),
+                "f1": pa.array(bits[:, 0], pa.int64()),
+                "f2": pa.array(bits[:, 1], pa.int64()),
+                "f3": pa.array(bits[:, 2], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(8)
+        out, params = fs_decisions(ds, ["f1", "f2", "f3"], mu=0.01, lam=0.01)
+        df = out.to_pandas()
+        assert len(df) == n
+        kinds = set(df.decision.unique())
+        assert kinds == {"match", "possible", "non_match"}
+        # weight bands are ordered: min(match) > max(possible) > ... etc.
+        wm = df[df.decision == "match"].match_weight
+        wp = df[df.decision == "possible"].match_weight
+        wn = df[df.decision == "non_match"].match_weight
+        assert wm.min() > wp.max() > wn.max()
+        assert wp.min() > wn.max()
+        # designated error-rate bound: u-mass of the match region <= mu
+        pats = np.arange(8)
+        a = ((pats[:, None] >> np.arange(3)) & 1).astype(float)
+        pu = np.prod(np.where(a == 1, params.u, 1 - params.u), axis=1)
+        packed = bits[:, 0] | (bits[:, 1] << 1) | (bits[:, 2] << 2)
+        match_pats = np.unique(packed[(df.sort_values("id_a").decision
+                                       == "match").to_numpy()])
+        assert pu[match_pats].sum() <= 0.01 + 1e-12
+
+    def test_extreme_rates(self, ray_session):
+        from record_linkage_ldu_ray.pipelines.problink import fs_decisions
+
+        t = pa.table(
+            {
+                "id_a": pa.array([0, 1, 2, 3], pa.int64()),
+                "id_b": pa.array([4, 5, 6, 7], pa.int64()),
+                "f1": pa.array([1, 1, 0, 0], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(t)
+        # mu = lam = 0 -> nothing qualifies, everything is possible
+        out, _ = fs_decisions(ds, ["f1"], mu=0.0, lam=0.0)
+        assert set(out.to_pandas().decision) == {"possible"}
+        # mu = lam = 1 -> every pattern qualifies for match first
+        out2, _ = fs_decisions(ds, ["f1"], mu=1.0, lam=1.0)
+        assert set(out2.to_pandas().decision) == {"match"}
