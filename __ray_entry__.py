@@ -779,6 +779,23 @@ def _q_dedup_threshold_curve(sf_dir: str):
     return threshold_curve(scored, "score", "label")
 
 
+def _q_jaccard_join_all(sf_dir: str):
+    """Exact corpus-wide token-set Jaccard self-join (NO blocking key)
+    via AllPairs prefix filtering (docdedup.py jaccard_join_all,
+    Bayardo et al. WWW'07) — the lossless scale path the within-block
+    jaccard_dup_pairs operator can't provide."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import jaccard_join_all
+
+    return jaccard_join_all(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        tau=0.5,
+    )
+
+
 def _q_cluster_cohesion(sf_dir: str):
     """Intra-cluster cohesion audit of the fuzzy-dedup clustering: member
     count + min/avg exact token-set Jaccard over all intra-cluster pairs,
@@ -1568,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": _q_chunk_documents,
         "phonetic_block_stats": _q_phonetic_block_stats,
         "cluster_cohesion": _q_cluster_cohesion,
+        "jaccard_join_all": _q_jaccard_join_all,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         # -- multimodal plumbing --
@@ -2184,6 +2202,18 @@ def oracle_sql() -> dict[str, str]:
                    base.n_chars_max, base.n_chars_sum,
                    lm.lang_mode, sm.source_mode
             FROM base JOIN lm USING (rep_id) JOIN sm USING (rep_id)
+        """,
+        "jaccard_join_all": f"""
+            WITH toks AS (
+              SELECT doc_id, list_distinct({_WS_WORDS}) AS w FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                         / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))),
+                         6) AS jaccard
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE len(a.w) + len(b.w) > 0
+              AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                  / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w))) >= 0.5
         """,
         "cluster_cohesion": f"""
             WITH RECURSIVE toks AS (

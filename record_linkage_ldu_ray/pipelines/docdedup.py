@@ -2146,3 +2146,230 @@ def cluster_cohesion_report(
         )
 
     return partitioned_map(joined, ["rep_id"], P, _audit)
+
+
+# ---------------------------------------------------------------------------
+# exact corpus-wide set-similarity self-join (no blocking key)
+
+
+def jaccard_join_all(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tau: float = 0.5,
+    num_parts: int | None = None,
+):
+    """Exact token-set Jaccard self-join over the WHOLE corpus — no
+    blocking key, no candidate loss — via AllPairs prefix filtering
+    (Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity Search",
+    WWW 2007 — public).
+
+    Where :func:`jaccard_dup_pairs` is exact only WITHIN a user-chosen
+    blocking key, this operator is exact corpus-wide: a pair with
+    ``J >= tau`` is guaranteed a shared *prefix token*, where each
+    record's prefix is its ``len - ceil(tau*len) + 1`` rarest tokens
+    under one global (df, hash) order.  Rare-first ordering makes
+    prefix buckets small: a token shared by f records costs O(f²)
+    candidates only if it survives into prefixes, and the globally
+    frequent tokens never do.
+
+    Scale shape: (1) DF pass — per-batch distinct-token partials → one
+    hash exchange → driver merge of the VOCABULARY (≪ corpus; prune to
+    broadcastable size exactly like ``tfidf_top_terms``), broadcast
+    once via ``ray.put``; (2) prefix emission — per-row rarity sort is
+    one lexsort over the batch, each record emits only its prefix
+    tokens (payload = the record's hash list, duplicated prefix-length
+    times); (3) ONE exchange on the prefix token co-locates candidate
+    buckets; within a bucket the triangle is enumerated vectorized and
+    verified with the exact float64 Jaccard merge kernel; (4) a narrow
+    (id_a, id_b, jaccard) exchange dedupes pairs found under several
+    prefix tokens.  The float ceil is epsilon-guarded so e.g.
+    ``0.4 * 5 = 2.0000000000000004`` still yields the mathematically
+    correct overlap bound (a too-large bound would DROP true pairs).
+
+    Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard 6dp.
+    """
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
+
+    P = default_num_parts() if num_parts is None else num_parts
+
+    def _prep(t: pa.Table) -> pa.Table:
+        # drop the empty-string artifact of splitting "" so an all-
+        # whitespace document has an EMPTY token set (matching the SQL
+        # oracle's non-empty-token filter) rather than {""}
+        toks = (
+            _ws_token_lists(t[text_col])
+            .list.eval(pl.element().filter(pl.element() != ""))
+            .list.unique()
+            .list.sort()
+        )
+        tok_arr = toks.to_arrow()
+        if pa.types.is_large_list(tok_arr.type):
+            tok_arr = tok_arr.cast(pa.list_(pa.string()))
+        offsets = tok_arr.offsets.to_numpy().astype(np.int64)
+        flat = fnv1a_hash_strings(tok_arr.flatten())
+        lens = offsets[1:] - offsets[:-1]
+        parents = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        flat = flat[np.lexsort((flat, parents))]
+        hashes = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), pa.array(flat, pa.uint64())
+        )
+        return pa.table({id_col: t[id_col], "hashes": hashes})
+
+    prep = ds.select_columns([id_col, text_col]).map_batches(
+        _prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # ---- pass 1: document frequencies over token hashes -------------------
+    def _df_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()), "df": pa.array([], pa.int64())}
+            )
+        arr = t["hashes"].combine_chunks()
+        off = arr.offsets.to_numpy().astype(np.int64)
+        flat = arr.values.to_numpy().astype(np.uint64)[off[0]: off[-1]]
+        uniq, cnt = np.unique(flat, return_counts=True)  # per-doc distinct
+        return pa.table(
+            {"h": pa.array(uniq, pa.uint64()), "df": pa.array(cnt, pa.int64())}
+        )
+
+    def _df_merge(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()), "df": pa.array([], pa.int64())}
+            )
+        h = t["h"].combine_chunks().to_numpy()
+        d = t["df"].combine_chunks().to_numpy()
+        uniq, inv = np.unique(h, return_inverse=True)
+        tot = np.bincount(inv, weights=d).astype(np.int64)
+        return pa.table(
+            {"h": pa.array(uniq, pa.uint64()), "df": pa.array(tot, pa.int64())}
+        )
+
+    df_parts = partitioned_map(prep.map_batches(
+        _df_partial, batch_format="pyarrow", zero_copy_batch=True
+    ), ["h"], P, _df_merge)
+    hs, dfs = [], []
+    for b in df_parts.iter_batches(batch_format="pyarrow"):
+        if "h" in b.schema.names and len(b):
+            hs.append(b["h"].to_numpy())
+            dfs.append(b["df"].to_numpy())
+    if hs:
+        h_all = np.concatenate(hs)
+        df_all = np.concatenate(dfs).astype(np.int64)
+        order = np.argsort(h_all)
+        h_all, df_all = h_all[order], df_all[order]
+    else:
+        h_all = np.empty(0, np.uint64)
+        df_all = np.empty(0, np.int64)
+    df_ref = ray.put((h_all, df_all))
+
+    # ---- pass 2: emit prefix tokens ---------------------------------------
+    def _emit(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "ph": pa.array([], pa.uint64()),
+                "rid": pa.array([], pa.int64()),
+                "hashes": pa.array([], pa.large_list(pa.uint64())),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        hv, dv = ray.get(df_ref)
+        arr = t["hashes"].combine_chunks()
+        off = arr.offsets.to_numpy().astype(np.int64)
+        flat = arr.values.to_numpy().astype(np.uint64)[off[0]: off[-1]]
+        off = off - off[0]
+        lens = off[1:] - off[:-1]
+        n = len(t)
+        parents = np.repeat(np.arange(n, dtype=np.int64), lens)
+        tok_df = dv[np.searchsorted(hv, flat)]
+        # rarity order within each row: (parent, df asc, hash asc)
+        order = np.lexsort((flat, tok_df, parents))
+        pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            np.r_[0, np.cumsum(lens)[:-1]], lens
+        )
+        alpha = np.ceil(tau * lens - 1e-9).astype(np.int64)
+        p_len = np.maximum(lens - alpha + 1, 0)
+        # `pos` indexes the SORTED layout (lexsort is parent-primary, so
+        # rows are contiguous in parent order with unchanged lengths)
+        keep_sorted = pos < p_len[parents[order]]
+        sel = order[keep_sorted]
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ph": pa.array(flat[sel], pa.uint64()),
+                "rid": pa.array(ids[parents[sel]], pa.int64()),
+                "hashes": arr.take(pa.array(parents[sel])),
+            }
+        )
+
+    keyed = prep.map_batches(_emit, batch_format="pyarrow", zero_copy_batch=True)
+
+    # ---- pass 3: bucket verification --------------------------------------
+    pair_schema = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("jaccard", pa.float64())]
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pair_schema.empty_table()
+        ph = t["ph"].combine_chunks().to_numpy()
+        order = np.argsort(ph, kind="stable")
+        ph = ph[order]
+        rid = t["rid"].combine_chunks().to_numpy()[order]
+        arr = t["hashes"].combine_chunks().take(pa.array(order))
+        off = arr.offsets.to_numpy().astype(np.int64)
+        flat = arr.values.to_numpy().astype(np.uint64)[off[0]: off[-1]]
+        off = off - off[0]
+        n = len(ph)
+        starts = np.flatnonzero(np.r_[True, ph[1:] != ph[:-1]])
+        counts = np.diff(np.r_[starts, n])
+        ends = np.repeat(starts + counts, counts)
+        reps = ends - 1 - np.arange(n, dtype=np.int64)
+        total = int(reps.sum())
+        if total == 0:
+            return pair_schema.empty_table()
+        ii = np.repeat(np.arange(n, dtype=np.int64), reps)
+        seg_off = np.cumsum(reps) - reps
+        jj = ii + 1 + (np.arange(total, dtype=np.int64) - seg_off[ii])
+        keep = rid[ii] != rid[jj]
+        ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return pair_schema.empty_table()
+        ja = _pair_jaccard_f64(flat, off, ii, jj)
+        hit = ja >= tau
+        ii, jj, ja = ii[hit], jj[hit], ja[hit]
+        a = np.minimum(rid[ii], rid[jj])
+        b = np.maximum(rid[ii], rid[jj])
+        key = np.stack([a, b], axis=1)
+        _, first = np.unique(key, axis=0, return_index=True)
+        return pa.table(
+            {
+                "id_a": pa.array(a[first], pa.int64()),
+                "id_b": pa.array(b[first], pa.int64()),
+                "jaccard": pa.array(round6(ja[first]), pa.float64()),
+            },
+            schema=pair_schema,
+        )
+
+    pairs = partitioned_map(keyed, ["ph"], P, _bucket)
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pair_schema.empty_table()
+        a = t["id_a"].combine_chunks().to_numpy()
+        b = t["id_b"].combine_chunks().to_numpy()
+        j = t["jaccard"].combine_chunks().to_numpy()
+        _, first = np.unique(np.stack([a, b], axis=1), axis=0, return_index=True)
+        return pa.table(
+            {
+                "id_a": pa.array(a[first], pa.int64()),
+                "id_b": pa.array(b[first], pa.int64()),
+                "jaccard": pa.array(j[first], pa.float64()),
+            },
+            schema=pair_schema,
+        )
+
+    return partitioned_map(pairs, ["id_a", "id_b"], P, _dedup)

@@ -1,0 +1,81 @@
+"""jaccard_join_all (AllPairs prefix filter): brute-force parity on
+adversarial corpora, epsilon-guarded ceil regression, partition invariance."""
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+from record_linkage_ldu_ray.pipelines.docdedup import jaccard_join_all
+
+
+def _brute(texts, tau):
+    sets = [frozenset(t.split()) for t in texts]
+    out = []
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            if not a and not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= tau:
+                out.append((i, j, round(jac, 6)))
+    return sorted(out)
+
+
+def _run(texts, tau, **kw):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()),
+             "text": pa.array(texts)}
+        )
+    )
+    df = jaccard_join_all(ds, tau=tau, **kw).to_pandas()
+    return sorted(
+        (int(r.id_a), int(r.id_b), round(float(r.jaccard), 6))
+        for r in df.itertuples()
+    )
+
+
+class TestJaccardJoinAll:
+    def test_small_vocab_worst_case(self, ray_session):
+        # tiny vocabulary = weakest prefix filter; every pair must still
+        # be found exactly
+        rng = np.random.default_rng(13)
+        vocab = [f"w{i}" for i in range(12)]
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(1, 9), replace=True))
+            for _ in range(80)
+        ]
+        for tau in (0.3, 0.5, 0.8):
+            assert _run(texts, tau) == _brute(texts, tau), tau
+
+    def test_rare_token_corpus(self, ray_session):
+        # realistic regime: mostly-unique tokens, a few shared
+        rng = np.random.default_rng(17)
+        texts = []
+        for i in range(60):
+            toks = [f"uniq{i}_{k}" for k in range(rng.integers(2, 6))]
+            if i % 3 == 0:
+                toks += ["shared alpha beta"]
+            texts.append(" ".join(toks) + (" shared" if i % 2 == 0 else ""))
+        assert _run(texts, 0.4) == _brute(texts, 0.4)
+
+    def test_ceil_epsilon_guard(self, ray_session):
+        # tau * len hitting a float artifact: 0.4 * 5 = 2.0000000000000004;
+        # an unguarded ceil gives 3 and silently DROPS the pair below
+        a = "t1 t2 t3 t4 t5"
+        b = "t1 t2 t3 x y"          # overlap 3, union 7 -> J = 3/7 ≈ 0.4286
+        got = _run([a, b], 0.4)
+        assert got == [(0, 1, round(3 / 7, 6))]
+
+    def test_partition_invariance_and_dupes(self, ray_session):
+        texts = ["alpha beta gamma"] * 5 + ["alpha beta", "gamma delta"]
+        a = _run(texts, 0.5, num_parts=2)
+        b = _run(texts, 0.5, num_parts=13)
+        assert a == b == _brute(texts, 0.5)
+
+    def test_empty_and_singleton(self, ray_session):
+        assert _run([], 0.5) == []
+        assert _run(["only one"], 0.5) == []
+        assert _run(["", "", "x"], 0.5) == _brute(["", "", "x"], 0.5)
