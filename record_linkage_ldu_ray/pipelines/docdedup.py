@@ -2152,6 +2152,57 @@ def cluster_cohesion_report(
 # exact corpus-wide set-similarity self-join (no blocking key)
 
 
+def _first_common_position_hash(
+    pflat: np.ndarray, poff: np.ndarray, ii: np.ndarray, jj: np.ndarray
+) -> np.ndarray:
+    """For each candidate pair (ii[k], jj[k]) over rows of a (flat,
+    offsets) list layout: the element of side ii's list at the LOWEST
+    position that also occurs in side jj's list (0 if none).  Side ii's
+    lists are rarity-ordered, so this is the pair's first common prefix
+    token under the global order — one lexsort over the gathered
+    segments, no per-pair Python."""
+    from record_linkage_ldu_ray.functions.sim import gather_list_segments
+
+    m = len(ii)
+    out = np.zeros(m, dtype=np.uint64)
+    if m == 0:
+        return out
+    va, oa = gather_list_segments(pflat, poff, ii)
+    vb, ob = gather_list_segments(pflat, poff, jj)
+    la = oa[1:] - oa[:-1]
+    lb = ob[1:] - ob[:-1]
+    pid = np.concatenate(
+        [
+            np.repeat(np.arange(m, dtype=np.int64), la),
+            np.repeat(np.arange(m, dtype=np.int64), lb),
+        ]
+    )
+    vals = np.concatenate([va, vb])
+    # position within side-a's segment; b-side gets a sentinel
+    pos_a = np.arange(len(va), dtype=np.int64) - np.repeat(
+        np.cumsum(la) - la, la
+    )
+    pos = np.concatenate([pos_a, np.full(len(vb), -1, np.int64)])
+    tag = np.concatenate(
+        [np.zeros(len(va), np.int8), np.ones(len(vb), np.int8)]
+    )
+    order = np.lexsort((tag, vals, pid))
+    sv, sp, st, spos = vals[order], pid[order], tag[order], pos[order]
+    # common: adjacent rows with equal (pair, value) and tags (a, b)
+    com = (sv[1:] == sv[:-1]) & (sp[1:] == sp[:-1]) & (st[:-1] == 0) & (st[1:] == 1)
+    if not com.any():
+        return out
+    c_pid = sp[:-1][com]
+    c_pos = spos[:-1][com]
+    c_val = sv[:-1][com]
+    # first (lowest a-position) common element per pair
+    o2 = np.lexsort((c_pos, c_pid))
+    c_pid, c_pos, c_val = c_pid[o2], c_pos[o2], c_val[o2]
+    first = np.r_[True, c_pid[1:] != c_pid[:-1]]
+    out[c_pid[first]] = c_val[first]
+    return out
+
+
 def jaccard_join_all(
     ds: "ray.data.Dataset",
     id_col: str = "doc_id",
@@ -2187,6 +2238,17 @@ def jaccard_join_all(
     ``0.4 * 5 = 2.0000000000000004`` still yields the mathematically
     correct overlap bound (a too-large bound would DROP true pairs).
 
+    A candidate pair is verified exactly ONCE: every pair shares one or
+    more prefix tokens, and only the bucket of its FIRST common prefix
+    token (rarity order, computed vectorized from the carried prefix
+    lists) owns it — so no global pair-dedup exchange is needed.
+
+    NOTE the synthetic bench corpus (~31-token vocabulary) is the
+    adversarial worst case for prefix filtering — every token is
+    frequent, so candidate counts approach all-pairs and the operator
+    degrades gracefully toward the brute-force cost.  Real corpora are
+    rare-token-rich, which is exactly where the prefix filter wins.
+
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard 6dp.
     """
     from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
@@ -2216,9 +2278,12 @@ def jaccard_join_all(
         )
         return pa.table({id_col: t[id_col], "hashes": hashes})
 
+    # materialized once: (id, token-hash list) is the tokenized corpus —
+    # far smaller than raw text — and BOTH the DF pass and the prefix
+    # pass consume it; leaving it lazy re-tokenizes the corpus twice
     prep = ds.select_columns([id_col, text_col]).map_batches(
         _prep, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
 
     # ---- pass 1: document frequencies over token hashes -------------------
     def _df_partial(t: pa.Table) -> pa.Table:
@@ -2272,6 +2337,7 @@ def jaccard_join_all(
                 "ph": pa.array([], pa.uint64()),
                 "rid": pa.array([], pa.int64()),
                 "hashes": pa.array([], pa.large_list(pa.uint64())),
+                "pfx": pa.array([], pa.large_list(pa.uint64())),
             }
         )
         if len(t) == 0:
@@ -2296,12 +2362,23 @@ def jaccard_join_all(
         # rows are contiguous in parent order with unchanged lengths)
         keep_sorted = pos < p_len[parents[order]]
         sel = order[keep_sorted]
+        sel_parents = parents[sel]
+        # each record's full prefix list in rarity order (the ownership
+        # filter in the bucket stage needs it to find the FIRST common
+        # prefix token of a candidate pair)
+        p_counts = np.minimum(p_len, lens)
+        pfx_offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(p_counts, out=pfx_offsets[1:])
+        pfx_list = pa.LargeListArray.from_arrays(
+            pa.array(pfx_offsets, pa.int64()), pa.array(flat[sel], pa.uint64())
+        )
         ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "ph": pa.array(flat[sel], pa.uint64()),
-                "rid": pa.array(ids[parents[sel]], pa.int64()),
-                "hashes": arr.take(pa.array(parents[sel])),
+                "rid": pa.array(ids[sel_parents], pa.int64()),
+                "hashes": arr.take(pa.array(sel_parents)),
+                "pfx": pfx_list.take(pa.array(sel_parents)),
             }
         )
 
@@ -2323,6 +2400,10 @@ def jaccard_join_all(
         off = arr.offsets.to_numpy().astype(np.int64)
         flat = arr.values.to_numpy().astype(np.uint64)[off[0]: off[-1]]
         off = off - off[0]
+        pfx = t["pfx"].combine_chunks().take(pa.array(order))
+        poff = pfx.offsets.to_numpy().astype(np.int64)
+        pflat = pfx.values.to_numpy().astype(np.uint64)[poff[0]: poff[-1]]
+        poff = poff - poff[0]
         n = len(ph)
         starts = np.flatnonzero(np.r_[True, ph[1:] != ph[:-1]])
         counts = np.diff(np.r_[starts, n])
@@ -2336,6 +2417,17 @@ def jaccard_join_all(
         jj = ii + 1 + (np.arange(total, dtype=np.int64) - seg_off[ii])
         keep = rid[ii] != rid[jj]
         ii, jj = ii[keep], jj[keep]
+        if len(ii) == 0:
+            return pair_schema.empty_table()
+        # ownership: a candidate pair appears in the bucket of EVERY
+        # shared prefix token; verify it only where the bucket token is
+        # the pair's FIRST common prefix token in rarity order, so each
+        # pair is verified exactly once across the whole cluster (no
+        # global pair-dedup exchange needed).  The first-common token is
+        # the min-POSITION common element of side a's rarity-ordered
+        # prefix list (that list is sorted by the global order).
+        own = _first_common_position_hash(pflat, poff, ii, jj) == ph[ii]
+        ii, jj = ii[own], jj[own]
         if len(ii) == 0:
             return pair_schema.empty_table()
         ja = _pair_jaccard_f64(flat, off, ii, jj)
@@ -2354,22 +2446,4 @@ def jaccard_join_all(
             schema=pair_schema,
         )
 
-    pairs = partitioned_map(keyed, ["ph"], P, _bucket)
-
-    def _dedup(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pair_schema.empty_table()
-        a = t["id_a"].combine_chunks().to_numpy()
-        b = t["id_b"].combine_chunks().to_numpy()
-        j = t["jaccard"].combine_chunks().to_numpy()
-        _, first = np.unique(np.stack([a, b], axis=1), axis=0, return_index=True)
-        return pa.table(
-            {
-                "id_a": pa.array(a[first], pa.int64()),
-                "id_b": pa.array(b[first], pa.int64()),
-                "jaccard": pa.array(j[first], pa.float64()),
-            },
-            schema=pair_schema,
-        )
-
-    return partitioned_map(pairs, ["id_a", "id_b"], P, _dedup)
+    return partitioned_map(keyed, ["ph"], P, _bucket)
