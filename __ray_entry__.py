@@ -779,6 +779,34 @@ def _q_dedup_threshold_curve(sf_dir: str):
     return threshold_curve(scored, "score", "label")
 
 
+def _q_snm_multi_pass(sf_dir: str):
+    """Multi-pass merge/purge (Hernandez-Stolfo): sorted-neighborhood
+    window pairs unioned over TWO sorting keys (text prefix chars 1-24
+    and 9-32), deduplicated with a per-pair pass count
+    (stages/snm.py snm_multi_pass)."""
+    import polars as _pl
+    import pyarrow as _pa
+
+    import ray.data
+
+    from record_linkage_ldu_ray.stages.snm import snm_multi_pass
+
+    def _keys(t: _pa.Table) -> _pa.Table:
+        s = _pl.from_arrow(t["text"].combine_chunks())
+        return _pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "k1": s.str.slice(0, 24).to_arrow().cast(_pa.string()),
+                "k2": s.str.slice(8, 24).to_arrow().cast(_pa.string()),
+            }
+        )
+
+    keyed = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(_keys, batch_format="pyarrow", zero_copy_batch=True)
+    return snm_multi_pass(keyed, ["k1", "k2"], "doc_id", window=4)
+
+
 def _q_jaccard_join_all(sf_dir: str):
     """Exact corpus-wide token-set Jaccard self-join (NO blocking key)
     via AllPairs prefix filtering (docdedup.py jaccard_join_all,
@@ -1586,6 +1614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phonetic_block_stats": _q_phonetic_block_stats,
         "cluster_cohesion": _q_cluster_cohesion,
         "jaccard_join_all": _q_jaccard_join_all,
+        "snm_multi_pass": _q_snm_multi_pass,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         # -- multimodal plumbing --
@@ -2202,6 +2231,28 @@ def oracle_sql() -> dict[str, str]:
                    base.n_chars_max, base.n_chars_sum,
                    lm.lang_mode, sm.source_mode
             FROM base JOIN lm USING (rep_id) JOIN sm USING (rep_id)
+        """,
+        "snm_multi_pass": """
+            WITH r AS (
+              SELECT doc_id, substr(text, 1, 24) AS k1,
+                     substr(text, 9, 24) AS k2
+              FROM documents),
+            o1 AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY k1, doc_id) AS rn
+                   FROM r),
+            p1 AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+                   FROM o1 a JOIN o1 b
+                     ON b.rn > a.rn AND b.rn <= a.rn + 3),
+            o2 AS (SELECT doc_id,
+                          row_number() OVER (ORDER BY k2, doc_id) AS rn
+                   FROM r),
+            p2 AS (SELECT a.doc_id AS ia, b.doc_id AS ib
+                   FROM o2 a JOIN o2 b
+                     ON b.rn > a.rn AND b.rn <= a.rn + 3),
+            u AS (SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b
+                  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2))
+            SELECT id_a, id_b, count(*)::BIGINT AS n_passes
+            FROM u GROUP BY id_a, id_b
         """,
         "jaccard_join_all": f"""
             WITH toks AS (

@@ -171,3 +171,53 @@ class TestSqlParityKernels:
         )
         assert union[k] > 0
         assert abs(inter[k] / union[k] - ngram_jaccard(ps[k][0], ps[k][1])) < 1e-12
+
+
+class TestSnmMultiPass:
+    def _keyed(self):
+        # k1 separates rows 0/1 (typo in first char); k2 (suffix) reunites
+        # them; rows 2-4 pad the sort orders apart
+        rows = [
+            (0, "aaaa_shared_tail", "shared_tail"),
+            (1, "zzzz_shared_tail", "shared_tail"),
+            (2, "bbbb_pad_1", "pad_1_x"),
+            (3, "cccc_pad_2", "pad_2_y"),
+            (4, "dddd_pad_3", "pad_3_z"),
+        ]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "rid": pa.array([r[0] for r in rows], pa.int64()),
+                    "k1": pa.array([r[1] for r in rows]),
+                    "k2": pa.array([r[2] for r in rows]),
+                }
+            )
+        )
+
+    def test_second_pass_recovers_pair(self, ray_session):
+        from record_linkage_ldu_ray.stages.snm import snm_multi_pass
+
+        # window 2: only rank-adjacent pairs. Under k1, 0 and 1 are at
+        # opposite ends; under k2 they are adjacent.
+        one = snm_multi_pass(self._keyed(), ["k1"], "rid", window=2).to_pandas()
+        assert (0, 1) not in set(zip(one.id_a, one.id_b))
+        both = snm_multi_pass(self._keyed(), ["k1", "k2"], "rid", window=2).to_pandas()
+        pairs = {(r.id_a, r.id_b): r.n_passes for r in both.itertuples()}
+        assert pairs[(0, 1)] == 1  # found by the k2 pass only
+        # adjacent under both orders -> n_passes == 2 exists
+        assert 2 in set(both.n_passes)
+
+    def test_partition_invariance(self, ray_session):
+        from record_linkage_ldu_ray.stages.snm import snm_multi_pass
+
+        a = (
+            snm_multi_pass(self._keyed(), ["k1", "k2"], "rid", window=3,
+                           num_parts=2)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        b = (
+            snm_multi_pass(self._keyed(), ["k1", "k2"], "rid", window=3,
+                           num_parts=7)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        assert a.equals(b)
