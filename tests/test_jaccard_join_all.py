@@ -79,3 +79,28 @@ class TestJaccardJoinAll:
         assert _run([], 0.5) == []
         assert _run(["only one"], 0.5) == []
         assert _run(["", "", "x"], 0.5) == _brute(["", "", "x"], 0.5)
+
+
+class TestFirstCommonPositionHash:
+    def test_random_vs_brute(self):
+        from record_linkage_ldu_ray.pipelines.docdedup import (
+            _first_common_position_hash,
+        )
+
+        rng = np.random.default_rng(23)
+        for _ in range(20):
+            n_rows = rng.integers(2, 12)
+            lists = [
+                list(dict.fromkeys(rng.integers(1, 12, rng.integers(0, 7))))
+                for _ in range(n_rows)
+            ]
+            flat = np.array([v for l in lists for v in l], np.uint64)
+            off = np.r_[0, np.cumsum([len(l) for l in lists])].astype(np.int64)
+            m = rng.integers(1, 10)
+            ii = rng.integers(0, n_rows, m).astype(np.int64)
+            jj = rng.integers(0, n_rows, m).astype(np.int64)
+            got = _first_common_position_hash(flat, off, ii, jj)
+            for k in range(m):
+                a, b = lists[ii[k]], set(lists[jj[k]])
+                exp = next((v for v in a if v in b), 0)
+                assert got[k] == exp, (lists, ii[k], jj[k])
