@@ -779,6 +779,29 @@ def _q_dedup_threshold_curve(sf_dir: str):
     return threshold_curve(scored, "score", "label")
 
 
+def _q_split_leakage(sf_dir: str):
+    """Dedup-aware split-leakage audit: fuzzy-dedup clusters vs the
+    deterministic 80/10/10 hash split — clusters spanning more than one
+    split leak near-duplicates across train/eval
+    (pipelines/evaluate.py split_leakage_report)."""
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import fuzzy_dedup_documents
+    from record_linkage_ldu_ray.pipelines.evaluate import split_leakage_report
+    from record_linkage_ldu_ray.pipelines.sampling import hash_split
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    clusters = fuzzy_dedup_documents(docs, n=2, tau=0.05).select_columns(
+        ["doc_id", "rep_id"]
+    )
+    splits = hash_split(
+        docs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        hash_fn="md5",  # SQL-oracle parity mode
+    )
+    return split_leakage_report(clusters, splits)
+
+
 def _q_snm_multi_pass(sf_dir: str):
     """Multi-pass merge/purge (Hernandez-Stolfo): sorted-neighborhood
     window pairs unioned over TWO sorting keys (text prefix chars 1-24
@@ -1615,6 +1638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_cohesion": _q_cluster_cohesion,
         "jaccard_join_all": _q_jaccard_join_all,
         "snm_multi_pass": _q_snm_multi_pass,
+        "split_leakage": _q_split_leakage,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
         # -- multimodal plumbing --
@@ -2231,6 +2255,53 @@ def oracle_sql() -> dict[str, str]:
                    base.n_chars_max, base.n_chars_sum,
                    lm.lang_mode, sm.source_mode
             FROM base JOIN lm USING (rep_id) JOIN sm USING (rep_id)
+        """,
+        "split_leakage": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, source, {_WS_WORDS} AS w FROM documents),
+            sh AS (
+              SELECT doc_id, source,
+                     list_distinct(list_transform(range(1, len(w)),
+                        i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS s
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+              WHERE len(a.s) + len(b.s) > 0
+                AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                    >= 0.05),
+            ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(src, dst) AS (
+              SELECT a, a FROM ed
+              UNION
+              SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+            rep AS (SELECT src AS doc_id, min(dst) AS rep_id
+                    FROM reach GROUP BY src),
+            asg AS (
+              SELECT d.doc_id, coalesce(rep.rep_id, d.doc_id) AS rep_id
+              FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id),
+            sp AS ({_hash_split_sql()}),
+            per AS (
+              SELECT asg.rep_id, count(*)::BIGINT AS nd,
+                     count(DISTINCT sp.split)::BIGINT AS ns
+              FROM asg JOIN sp USING (doc_id) GROUP BY asg.rep_id),
+            agg AS (
+              SELECT count(*)::BIGINT AS n_clusters,
+                     coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0)::BIGINT
+                       AS n_leaky_clusters,
+                     coalesce(sum(nd), 0)::BIGINT AS n_docs,
+                     coalesce(sum(CASE WHEN ns > 1 THEN nd ELSE 0 END), 0)::BIGINT
+                       AS n_leaky_docs
+              FROM per)
+            SELECT n_clusters, n_leaky_clusters, n_docs, n_leaky_docs,
+                   round(CASE WHEN n_clusters > 0
+                              THEN n_leaky_clusters / n_clusters::DOUBLE
+                              ELSE 0 END, 6) AS cluster_leak_ratio,
+                   round(CASE WHEN n_docs > 0
+                              THEN n_leaky_docs / n_docs::DOUBLE
+                              ELSE 0 END, 6) AS doc_leak_ratio
+            FROM agg
         """,
         "snm_multi_pass": """
             WITH r AS (

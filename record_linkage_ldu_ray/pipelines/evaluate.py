@@ -358,3 +358,89 @@ def bcubed_metrics(assignments, pred_col: str, true_col: str,
             }
         )
     )
+
+
+def split_leakage_report(clusters, splits, id_col: str = "doc_id",
+                         cluster_col: str = "rep_id",
+                         split_col: str = "split",
+                         num_parts: int | None = None):
+    """Dedup-aware train/val/test leakage audit: how many duplicate
+    CLUSTERS span more than one split — the contamination mode a purely
+    row-level splitter cannot see (a near-duplicate of a training
+    document sitting in the eval split).  Standard LLM-data hygiene
+    (e.g. Lee et al. arXiv:2107.06499 §5 measure train/eval overlap of
+    duplicates); the fix is routing whole clusters, this operator is the
+    audit that says whether you must.
+
+    Scale shape: one shuffle join aligns (id → cluster) with (id →
+    split); ONE exchange keyed by the cluster id co-locates each
+    cluster; each partition reduces to a single partial row (cluster /
+    doc totals + leaky counts) and the driver sums O(#partitions) rows.
+
+    Output: ONE row — (n_clusters, n_leaky_clusters, n_docs,
+    n_leaky_docs, cluster_leak_ratio, doc_leak_ratio), ratios 6dp
+    (0.0 when there are no clusters).
+    """
+    import polars as pl
+
+    from record_linkage_ldu_ray.functions.rounding import round6
+    from record_linkage_ldu_ray.pipelines.relational import hash_join
+    from record_linkage_ldu_ray.runtime import default_num_parts, partitioned_map
+
+    P = default_num_parts() if num_parts is None else num_parts
+    joined = hash_join(clusters, splits, on=id_col)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "nc": pa.array([], pa.int64()),
+                "nlc": pa.array([], pa.int64()),
+                "nd": pa.array([], pa.int64()),
+                "nld": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        df = pl.from_arrow(t.select([cluster_col, split_col]))
+        g = df.group_by(cluster_col).agg(
+            nd=pl.len().cast(pl.Int64),
+            ns=pl.col(split_col).n_unique().cast(pl.Int64),
+        )
+        leaky = g.filter(pl.col("ns") > 1)
+        return pa.table(
+            {
+                "nc": pa.array([g.height], pa.int64()),
+                "nlc": pa.array([leaky.height], pa.int64()),
+                "nd": pa.array([int(g["nd"].sum())], pa.int64()),
+                "nld": pa.array([int(leaky["nd"].sum() or 0)], pa.int64()),
+            }
+        )
+
+    parts = partitioned_map(joined, [cluster_col], P, _partial)
+    nc = nlc = nd = nld = 0
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        if "nc" not in b.schema.names:
+            continue
+        nc += int(np.asarray(b["nc"]).sum())
+        nlc += int(np.asarray(b["nlc"]).sum())
+        nd += int(np.asarray(b["nd"]).sum())
+        nld += int(np.asarray(b["nld"]).sum())
+    ratios = round6(
+        np.array(
+            [nlc / nc if nc else 0.0, nld / nd if nd else 0.0], np.float64
+        )
+    )
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table(
+            {
+                "n_clusters": pa.array([nc], pa.int64()),
+                "n_leaky_clusters": pa.array([nlc], pa.int64()),
+                "n_docs": pa.array([nd], pa.int64()),
+                "n_leaky_docs": pa.array([nld], pa.int64()),
+                "cluster_leak_ratio": pa.array([ratios[0]], pa.float64()),
+                "doc_leak_ratio": pa.array([ratios[1]], pa.float64()),
+            }
+        )
+    )

@@ -62,3 +62,54 @@ class TestBcubed:
         a = _run(pred, true, repart=3, num_parts=5)
         b = _run(pred, true, repart=17, num_parts=11)
         assert a.equals(b)
+
+
+class TestSplitLeakage:
+    def test_hand_counted(self, ray_session):
+        from record_linkage_ldu_ray.pipelines.evaluate import split_leakage_report
+
+        clusters = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                    # cluster A = {0,1} spans splits; B = {2,3} does not;
+                    # C = {4} singleton
+                    "rep_id": pa.array([10, 10, 20, 20, 30], pa.int64()),
+                }
+            )
+        )
+        splits = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                    "split": pa.array(["train", "test", "train", "train", "val"]),
+                }
+            )
+        )
+        r = split_leakage_report(clusters, splits).to_pandas().iloc[0]
+        assert r.n_clusters == 3 and r.n_leaky_clusters == 1
+        assert r.n_docs == 5 and r.n_leaky_docs == 2
+        assert abs(r.cluster_leak_ratio - 1 / 3) < 1e-6
+        assert abs(r.doc_leak_ratio - 0.4) < 1e-6
+
+    def test_no_leak(self, ray_session):
+        from record_linkage_ldu_ray.pipelines.evaluate import split_leakage_report
+
+        clusters = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "rep_id": pa.array([0, 0], pa.int64()),
+                }
+            )
+        )
+        splits = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([0, 1], pa.int64()),
+                    "split": pa.array(["train", "train"]),
+                }
+            )
+        )
+        r = split_leakage_report(clusters, splits).to_pandas().iloc[0]
+        assert r.n_leaky_clusters == 0 and r.doc_leak_ratio == 0.0
