@@ -779,6 +779,100 @@ def _q_dedup_threshold_curve(sf_dir: str):
     return threshold_curve(scored, "score", "label")
 
 
+def _fs_customer_bits(sf_dir: str):
+    """Shared candidate-pair + agreement-bit pipeline for the
+    Fellegi-Sunter queries: nation-blocked customer pairs with three
+    binary agreements (market segment, acct-balance thousand-bucket,
+    name edit distance <= 1)."""
+    import numpy as np
+    import pyarrow as _pa
+
+    import ray.data
+
+    from record_linkage_ldu_ray.functions.sim import (
+        levenshtein_distance_batch_arrow,
+    )
+    from record_linkage_ldu_ray.pipelines.problink import block_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=[
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            "c_acctbal",
+            "c_mktsegment",
+        ],
+    )
+    pairs = block_pairs(
+        ds, "c_nationkey", "c_custkey",
+        ["c_name", "c_acctbal", "c_mktsegment"],
+    )
+
+    def _bits(t: _pa.Table) -> _pa.Table:
+        seg = _pa.compute.equal(
+            t["c_mktsegment_a"], t["c_mktsegment_b"]
+        ).to_numpy(zero_copy_only=False)
+        bal_a = t["c_acctbal_a"].combine_chunks().to_numpy()
+        bal_b = t["c_acctbal_b"].combine_chunks().to_numpy()
+        bal = np.floor(bal_a / 1000.0) == np.floor(bal_b / 1000.0)
+        dist = levenshtein_distance_batch_arrow(
+            t["c_name_a"].combine_chunks(), t["c_name_b"].combine_chunks()
+        )
+        return _pa.table(
+            {
+                "id_a": t["id_a"],
+                "id_b": t["id_b"],
+                "agr_seg": _pa.array(seg.astype(np.int64), _pa.int64()),
+                "agr_bal": _pa.array(bal.astype(np.int64), _pa.int64()),
+                "agr_name": _pa.array((dist <= 1).astype(np.int64), _pa.int64()),
+            }
+        )
+
+    return pairs.map_batches(_bits, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_merge_purge_customers(sf_dir: str):
+    """The reference's END-TO-END flow as one composed pipeline, exact:
+    nation-blocked candidate pairs -> FS agreement bits -> EM-estimated
+    decision rule (mu=0.05, lam=0.01) -> 'match' edges -> distributed
+    transitive clustering -> (c_custkey, rep_id, keep).  Every stage is
+    the already-oracle-checked operator (block_pairs, fs_decisions,
+    dedup_by_pairs); the SQL replays the whole chain in one statement."""
+    import pyarrow as _pa
+
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import dedup_by_pairs
+
+    bits = _fs_customer_bits(sf_dir)
+    from record_linkage_ldu_ray.pipelines.problink import fs_decisions
+
+    decided, _params = fs_decisions(
+        bits, ["agr_seg", "agr_bal", "agr_name"], mu=0.05, lam=0.01
+    )
+
+    def _edges(t: _pa.Table) -> _pa.Table:
+        import pyarrow.compute as _pc
+
+        keep = _pc.equal(t["decision"], "match")
+        sub = t.filter(keep)
+        return _pa.table(
+            {
+                "c_custkey_a": sub["id_a"],
+                "c_custkey_b": sub["id_b"],
+            }
+        )
+
+    matches = decided.map_batches(
+        _edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    return dedup_by_pairs(customers, matches, id_col="c_custkey")
+
+
 def _q_split_leakage(sf_dir: str):
     """Dedup-aware split-leakage audit: fuzzy-dedup clusters vs the
     deterministic 80/10/10 hash split — clusters spanning more than one
@@ -904,56 +998,11 @@ def _q_fs_match_weights(sf_dir: str):
     the agreement-pattern histogram (pipelines/problink.py), per-pair
     base-2 log-likelihood match weight + posterior.  The DuckDB oracle
     replays the SAME fixed-iteration EM as a recursive CTE."""
-    import numpy as np
-    import pyarrow as _pa
+    from record_linkage_ldu_ray.pipelines.problink import fs_match_weights
 
-    import ray.data
-
-    from record_linkage_ldu_ray.functions.sim import (
-        levenshtein_distance_batch_arrow,
+    out, _params = fs_match_weights(
+        _fs_customer_bits(sf_dir), ["agr_seg", "agr_bal", "agr_name"]
     )
-    from record_linkage_ldu_ray.pipelines.problink import (
-        block_pairs,
-        fs_match_weights,
-    )
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=[
-            "c_custkey",
-            "c_name",
-            "c_nationkey",
-            "c_acctbal",
-            "c_mktsegment",
-        ],
-    )
-    pairs = block_pairs(
-        ds, "c_nationkey", "c_custkey",
-        ["c_name", "c_acctbal", "c_mktsegment"],
-    )
-
-    def _bits(t: _pa.Table) -> _pa.Table:
-        seg = _pa.compute.equal(
-            t["c_mktsegment_a"], t["c_mktsegment_b"]
-        ).to_numpy(zero_copy_only=False)
-        bal_a = t["c_acctbal_a"].combine_chunks().to_numpy()
-        bal_b = t["c_acctbal_b"].combine_chunks().to_numpy()
-        bal = np.floor(bal_a / 1000.0) == np.floor(bal_b / 1000.0)
-        dist = levenshtein_distance_batch_arrow(
-            t["c_name_a"].combine_chunks(), t["c_name_b"].combine_chunks()
-        )
-        return _pa.table(
-            {
-                "id_a": t["id_a"],
-                "id_b": t["id_b"],
-                "agr_seg": _pa.array(seg.astype(np.int64), _pa.int64()),
-                "agr_bal": _pa.array(bal.astype(np.int64), _pa.int64()),
-                "agr_name": _pa.array((dist <= 1).astype(np.int64), _pa.int64()),
-            }
-        )
-
-    bits = pairs.map_batches(_bits, batch_format="pyarrow", zero_copy_batch=True)
-    out, _params = fs_match_weights(bits, ["agr_seg", "agr_bal", "agr_name"])
     return out
 
 
@@ -963,57 +1012,11 @@ def _q_fs_decisions(sf_dir: str):
     bands at designated error rates mu = lam = 0.001
     (pipelines/problink.py fs_decisions; oracle replays EM + the
     cumulative-probability threshold rule with window sums)."""
-    import numpy as np
-    import pyarrow as _pa
+    from record_linkage_ldu_ray.pipelines.problink import fs_decisions
 
-    import ray.data
-
-    from record_linkage_ldu_ray.functions.sim import (
-        levenshtein_distance_batch_arrow,
-    )
-    from record_linkage_ldu_ray.pipelines.problink import (
-        block_pairs,
-        fs_decisions,
-    )
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet",
-        columns=[
-            "c_custkey",
-            "c_name",
-            "c_nationkey",
-            "c_acctbal",
-            "c_mktsegment",
-        ],
-    )
-    pairs = block_pairs(
-        ds, "c_nationkey", "c_custkey",
-        ["c_name", "c_acctbal", "c_mktsegment"],
-    )
-
-    def _bits(t: _pa.Table) -> _pa.Table:
-        seg = _pa.compute.equal(
-            t["c_mktsegment_a"], t["c_mktsegment_b"]
-        ).to_numpy(zero_copy_only=False)
-        bal_a = t["c_acctbal_a"].combine_chunks().to_numpy()
-        bal_b = t["c_acctbal_b"].combine_chunks().to_numpy()
-        bal = np.floor(bal_a / 1000.0) == np.floor(bal_b / 1000.0)
-        dist = levenshtein_distance_batch_arrow(
-            t["c_name_a"].combine_chunks(), t["c_name_b"].combine_chunks()
-        )
-        return _pa.table(
-            {
-                "id_a": t["id_a"],
-                "id_b": t["id_b"],
-                "agr_seg": _pa.array(seg.astype(np.int64), _pa.int64()),
-                "agr_bal": _pa.array(bal.astype(np.int64), _pa.int64()),
-                "agr_name": _pa.array((dist <= 1).astype(np.int64), _pa.int64()),
-            }
-        )
-
-    bits = pairs.map_batches(_bits, batch_format="pyarrow", zero_copy_batch=True)
     out, _params = fs_decisions(
-        bits, ["agr_seg", "agr_bal", "agr_name"], mu=0.001, lam=0.001
+        _fs_customer_bits(sf_dir), ["agr_seg", "agr_bal", "agr_name"],
+        mu=0.001, lam=0.001,
     )
     return out
 
@@ -1586,7 +1589,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- per-conv aggregation (A1) + boilerplate / sessionize --
         "user_event_features": _q_user_event_features,
         "conversation_stats": _q_conversation_stats,
-        "remove_boilerplate_turns": _q_remove_boilerplate_turns,
         "sessionize_events": _q_sessionize_events,
         # -- dedup suite --
         "exact_dedup": _q_exact_dedup,
@@ -1626,6 +1628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "fs_match_weights": _q_fs_match_weights,
         "fs_decisions": _q_fs_decisions,
+        "merge_purge_customers": _q_merge_purge_customers,
         "snm_pair_scores": _q_snm_pair_scores,
         "dedup_threshold_curve": _q_dedup_threshold_curve,
         "dedup_bcubed": _q_dedup_bcubed,
@@ -1633,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- sampling / splits --
         "hash_split": _q_hash_split,
         "top_events_per_user": _q_top_events_per_user,
+        "remove_boilerplate_turns": _q_remove_boilerplate_turns,
         "chunk_documents": _q_chunk_documents,
         "phonetic_block_stats": _q_phonetic_block_stats,
         "cluster_cohesion": _q_cluster_cohesion,
@@ -2483,6 +2487,88 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'possible' END AS decision
             FROM pr JOIN dec
               ON pr.s = dec.a1 AND pr.bl = dec.a2 AND pr.nm = dec.a3
+        """,
+        "merge_purge_customers": """
+            WITH RECURSIVE pr AS (
+              SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+                     CASE WHEN a.c_mktsegment = b.c_mktsegment
+                          THEN 1 ELSE 0 END AS s,
+                     CASE WHEN floor(a.c_acctbal / 1000) = floor(b.c_acctbal / 1000)
+                          THEN 1 ELSE 0 END AS bl,
+                     CASE WHEN levenshtein(a.c_name, b.c_name) <= 1
+                          THEN 1 ELSE 0 END AS nm
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey),
+            pat AS (
+              SELECT s, bl, nm, count(*)::BIGINT AS cnt
+              FROM pr GROUP BY 1, 2, 3),
+            em(it, m, u, p) AS (
+              SELECT 0, CAST([0.9, 0.9, 0.9] AS DOUBLE[]),
+                     CAST([0.1, 0.1, 0.1] AS DOUBLE[]), CAST(0.1 AS DOUBLE)
+              UNION ALL
+              SELECT it + 1, st.m_new, st.u_new, st.p_new
+              FROM em, LATERAL (
+                WITH w AS (
+                  SELECT s AS a1, bl AS a2, nm AS a3, cnt,
+                    p * (a1*m[1] + (1-a1)*(1-m[1]))
+                      * (a2*m[2] + (1-a2)*(1-m[2]))
+                      * (a3*m[3] + (1-a3)*(1-m[3])) AS num,
+                    (1-p) * (a1*u[1] + (1-a1)*(1-u[1]))
+                          * (a2*u[2] + (1-a2)*(1-u[2]))
+                          * (a3*u[3] + (1-a3)*(1-u[3])) AS den
+                  FROM pat),
+                g AS (
+                  SELECT sum(cnt * num/(num+den)) AS wm,
+                         sum(cnt * (1 - num/(num+den))) AS wu,
+                         sum(cnt * num/(num+den) * a1) AS m1,
+                         sum(cnt * num/(num+den) * a2) AS m2,
+                         sum(cnt * num/(num+den) * a3) AS m3,
+                         sum(cnt * (1-num/(num+den)) * a1) AS u1,
+                         sum(cnt * (1-num/(num+den)) * a2) AS u2,
+                         sum(cnt * (1-num/(num+den)) * a3) AS u3,
+                         sum(cnt) AS n
+                  FROM w)
+                SELECT [m1/wm, m2/wm, m3/wm] AS m_new,
+                       [u1/wu, u2/wu, u3/wu] AS u_new,
+                       wm/n AS p_new
+                FROM g) st
+              WHERE it < 30),
+            fin AS (SELECT m, u, p FROM em WHERE it = 30),
+            pat8 AS (
+              SELECT pid, pid % 2 AS a1, (pid // 2) % 2 AS a2,
+                     (pid // 4) % 2 AS a3
+              FROM (SELECT unnest(range(0, 8)) AS pid)),
+            pstats AS (
+              SELECT pid, a1, a2, a3,
+                       a1 * log2(m[1]/u[1]) + (1-a1) * log2((1-m[1])/(1-u[1]))
+                     + a2 * log2(m[2]/u[2]) + (1-a2) * log2((1-m[2])/(1-u[2]))
+                     + a3 * log2(m[3]/u[3]) + (1-a3) * log2((1-m[3])/(1-u[3]))
+                       AS wgt,
+                     (a1*u[1]+(1-a1)*(1-u[1])) * (a2*u[2]+(1-a2)*(1-u[2]))
+                       * (a3*u[3]+(1-a3)*(1-u[3])) AS pu_
+              FROM pat8, fin),
+            dec AS (
+              SELECT a1, a2, a3,
+                     sum(pu_) OVER (ORDER BY wgt DESC, pid ASC) <= 0.05
+                       AS is_match
+              FROM pstats),
+            mt AS (
+              SELECT pr.id_a AS a, pr.id_b AS b
+              FROM pr JOIN dec
+                ON pr.s = dec.a1 AND pr.bl = dec.a2 AND pr.nm = dec.a3
+              WHERE dec.is_match),
+            ed AS (SELECT a, b FROM mt UNION SELECT b, a FROM mt),
+            reach(src, dst) AS (
+              SELECT a, a FROM ed
+              UNION
+              SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+            rep AS (SELECT src AS c_custkey, min(dst) AS rep_id
+                    FROM reach GROUP BY src)
+            SELECT c.c_custkey,
+                   coalesce(rep.rep_id, c.c_custkey) AS rep_id,
+                   coalesce(rep.rep_id, c.c_custkey) = c.c_custkey AS keep
+            FROM customer c LEFT JOIN rep ON c.c_custkey = rep.c_custkey
         """,
         "dedup_bcubed": f"""
             WITH RECURSIVE toks AS (
