@@ -57,3 +57,16 @@ class TestCli:
 
         with pytest.raises(SystemExit):
             main(["query", "no_such_pipeline", "--out", str(tmp_path / "x")])
+
+    def test_link_end_to_end(self, ray_session, tmp_path, capsys):
+        fix_a = cached_fixture(FixtureSpec(n_families=15))
+        fix_b = cached_fixture(FixtureSpec(n_families=15, seed=43))
+        out = str(tmp_path / "link")
+        rc, res = _run(
+            ["link", "--input-a", f"{fix_a}/transcripts.parquet",
+             "--input-b", f"{fix_b}/transcripts.parquet", "--out", out],
+            capsys,
+        )
+        assert rc == 0
+        assert res["groups"] > 0  # every record lands in exactly one group
+        assert os.path.isdir(os.path.join(out, "groups"))
