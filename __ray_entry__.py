@@ -31,6 +31,76 @@ def _sql_list(words) -> str:
 _STOP_SQL = _sql_list(ENGLISH_STOPWORDS)
 _WS_WORDS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+# CTE chain computing the engine's exact 64-bit SimHash per document in pure
+# SQL (prefix with ``WITH RECURSIVE``; exposes a ``sigs(doc_id, sig)``
+# relation over ``{src}``).  FNV-1a is folded byte-by-byte over the UTF-8
+# hex encoding via a recursive CTE; the splitmix64 finalizer runs as
+# UHUGEINT mul-mod-2^64; TF-weighted +/-1 bit votes reproduce
+# ``docdedup.simhash_signatures``.  Byte-exactness vs the numpy kernel is
+# pinned by tests/test_simhash_oracle.py.
+_SIMHASH_SIG_SQL = r"""
+            occ AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text,
+                         ' ' || chr(9) || chr(10) || chr(13) || chr(11)
+                             || chr(12)), '\s+')) AS tok
+              FROM {src}
+            ),
+            dist AS (SELECT DISTINCT tok FROM occ),
+            bytes AS (SELECT tok, hex(encode(tok)) AS hx,
+                             length(hex(encode(tok)))//2 AS nb FROM dist),
+            -- FNV-1a 64: h = (h XOR byte) * prime, folded over UTF-8 bytes
+            fnv(tok, nb, hx, i, h) AS (
+              SELECT tok, nb, hx, 0, 14695981039346656037::UHUGEINT
+              FROM bytes
+              UNION ALL
+              SELECT tok, nb, hx, i+1,
+                (xor(h::UBIGINT,
+                     ((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))-1)*16
+                      + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))-1
+                     )::UBIGINT
+                    )::UHUGEINT * 1099511628211::UHUGEINT)
+                % 18446744073709551616::UHUGEINT
+              FROM fnv WHERE i < nb
+            ),
+            fh AS (SELECT tok, h::UBIGINT AS h FROM fnv WHERE i = nb),
+            -- splitmix64 finalizer (mul mod 2^64 in UHUGEINT)
+            s1 AS (SELECT tok,
+                          ((h::UHUGEINT + 11400714819323198485::UHUGEINT)
+                           % 18446744073709551616::UHUGEINT)::UBIGINT AS z
+                   FROM fh),
+            s2 AS (SELECT tok,
+                          ((xor(z, z >> 30)::UHUGEINT
+                            * 13787848793156543929::UHUGEINT)
+                           % 18446744073709551616::UHUGEINT)::UBIGINT AS z
+                   FROM s1),
+            s3 AS (SELECT tok,
+                          ((xor(z, z >> 27)::UHUGEINT
+                            * 10723151780598845931::UHUGEINT)
+                           % 18446744073709551616::UHUGEINT)::UBIGINT AS z
+                   FROM s2),
+            th AS (SELECT tok, xor(z, z >> 31) AS h FROM s3),
+            -- TF-weighted SimHash: per-bit +/-1 votes over occurrences
+            bits AS (
+              SELECT o.doc_id, b.b,
+                     sum(CASE WHEN (t.h >> b.b) & 1::UBIGINT = 1::UBIGINT
+                              THEN 1 ELSE -1 END) AS s
+              FROM occ o JOIN th t USING (tok)
+              CROSS JOIN (SELECT unnest(range(64)) AS b) b
+              GROUP BY o.doc_id, b.b
+            ),
+            sig0 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN s > 0 THEN (1::UBIGINT << b)
+                              ELSE 0::UBIGINT END)::UBIGINT AS sig
+              FROM bits GROUP BY doc_id
+            ),
+            sigs AS (
+              SELECT d.doc_id, coalesce(s.sig, 0::UBIGINT) AS sig
+              FROM {src} d LEFT JOIN sig0 s USING (doc_id)
+            )
+"""
+
 
 def _curate_documents_sql() -> str:
     from record_linkage_ldu_ray.pipelines.sampling import _hex_threshold
@@ -715,7 +785,16 @@ def _q_dedup_threshold_curve(sf_dir: str):
     from record_linkage_ldu_ray.pipelines.problink import block_pairs
 
     def _prep(t: _pa.Table) -> _pa.Table:
-        toks = _ws_token_lists(t["text"]).list.unique().list.sort()
+        import polars as _pl
+
+        # drop the empty-string artifact of splitting "" (oracle parity:
+        # the SQL side filters x <> '' — same guard as jaccard_join_all)
+        toks = (
+            _ws_token_lists(t["text"])
+            .list.eval(_pl.element().filter(_pl.element() != ""))
+            .list.unique()
+            .list.sort()
+        )
         tok_arr = toks.to_arrow()
         if _pa.types.is_large_list(tok_arr.type):
             tok_arr = tok_arr.cast(_pa.list_(_pa.string()))
@@ -1568,6 +1647,65 @@ def _q_link_increment(sf_dir: str):
     return link_increment(a, existing, b).sort("conv_id")
 
 
+def _q_link_increment_exact(sf_dir: str):
+    """link_increment's ASSIGNMENT rule under an SQL-expressible matcher —
+    the oracle-exact companion of ``link_increment`` (whose default
+    MinHash-LSH matcher has no SQL oracle).  The matcher is the SAME
+    bipartite token-Jaccard join the driver already proves hash-exact
+    (``bipartite_jaccard_links``); its edges are injected via
+    ``link_increment(matches=...)`` so the min-inheritance / fresh-singleton
+    rule runs on exactly the edge set the SQL side recomputes."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_linkage_ldu_ray.pipelines.docdedup import jaccard_dup_pairs
+    from record_linkage_ldu_ray.pipelines.linkage import link_increment
+
+    def _side(t: pa.Table) -> pa.Table:
+        side = ((t["doc_id"].to_numpy() // 20) % 2).astype(np.int32)
+        return t.append_column("side", pa.array(side, pa.int32()))
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).map_batches(_side, batch_format="pyarrow", zero_copy_batch=True)
+
+    matches = jaccard_dup_pairs(docs, tau=0.5, side_col="side").map_batches(
+        lambda t: pa.table(
+            {
+                "conv_id_a": t["doc_id_a"].cast(pa.string()),
+                "conv_id_b": t["doc_id_b"].cast(pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _half_ids(parity: int):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            keep = (ids // 20) % 2 == parity
+            return pa.table(
+                {"conv_id": pa.array(ids[keep].astype("U"), pa.string())}
+            )
+
+        return _f
+
+    ids = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    delta = ids.map_batches(_half_ids(1), batch_format="pyarrow", zero_copy_batch=True)
+    existing_clusters = ids.map_batches(
+        _half_ids(0), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: t.append_column("cluster_id", t["conv_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return link_increment(None, existing_clusters, delta, matches=matches).sort(
+        "conv_id"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # NOTE on ordering: the driver's correctness sweep checks the FIRST 50
     # entries of this dict. The flagship pipeline, SURVEY §2 kernel queries,
@@ -1693,6 +1831,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnowing_fingerprints": _q_winnowing,
         "value_quantile_sketch": _q_value_quantile_sketch,
         "token_freq_cms": _q_token_freq_cms,
+        # -- oracle-exact proof of link_increment's assignment rule (the
+        # default LSH matcher stays rows-only; this injects the
+        # SQL-provable bipartite-Jaccard matcher via matches=...) --
+        "link_increment_exact": _q_link_increment_exact,
     }
 
 
@@ -3098,8 +3240,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id_a, doc_id_b, round(j, 6) AS jaccard
             FROM pairs WHERE j >= 0.5
         """,
-        # minhash_lsh_dup_pairs, simhash_dup_pairs, winnowing_fingerprints,
+        # SimHash IS SQL-expressible at fixture scale: the banding is only a
+        # candidate generator (Hamming<=3 over 4 16-bit bands guarantees >=1
+        # exact band by pigeonhole, so banding loses nothing), and the
+        # signature itself is deterministic integer math — see
+        # _SIMHASH_SIG_SQL (byte-exact vs functions/hashing.py:
+        # tests/test_simhash_oracle.py), then a brute-force self-join
+        # verified with bit_count(xor()).
+        "simhash_dup_pairs": "WITH RECURSIVE "
+        + _SIMHASH_SIG_SQL.format(src="documents")
+        + """
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        """,
+        # minhash_lsh_dup_pairs, winnowing_fingerprints,
         # lsh_ann_topk, image_features_stub, transcript_dedup,
         # bipartite_linkage: sketch-based / model-stub / iterative pipelines
-        # — not SQL-expressible, rows-only.
+        # — not SQL-expressible, rows-only.  link_increment's DEFAULT
+        # matcher (link_datasets: MinHash-LSH blocking) is likewise not
+        # SQL-expressible; the injected-matcher variant below proves the
+        # assignment rule oracle-exact.
+        "link_increment_exact": f"""
+            WITH toks AS (
+              SELECT doc_id, source, list_distinct({_WS_WORDS}) AS w
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS da, b.doc_id AS db
+              FROM toks a JOIN toks b
+                ON a.source = b.source
+               AND (a.doc_id // 20) % 2 = 0 AND (b.doc_id // 20) % 2 = 1
+              WHERE len(a.w) + len(b.w) > 0
+                AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                    / (len(a.w) + len(b.w) - len(list_intersect(a.w, b.w)))
+                    >= 0.5),
+            -- assignment rule: inherit the MINIMUM matched existing
+            -- cluster (existing clusters are identity: cluster = own id,
+            -- string-min to mirror the engine's string cluster keys)
+            inherit AS (
+              SELECT db AS doc_id, min(CAST(da AS VARCHAR)) AS cid
+              FROM pairs GROUP BY db)
+            SELECT CAST(d.doc_id AS VARCHAR) AS conv_id,
+                   coalesce(i.cid, CAST(d.doc_id AS VARCHAR)) AS cluster_id,
+                   i.cid IS NULL AS is_new_cluster
+            FROM (SELECT doc_id FROM documents
+                  WHERE (doc_id // 20) % 2 = 1) d
+            LEFT JOIN inherit i USING (doc_id)
+        """,
     }

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -49,9 +50,37 @@ def _ray_init(cpus: int | None) -> bool:
 
 
 def _write(ds, path: str) -> int:
-    n = ds.count()
+    # write FIRST (one streaming execution of the lineage), then derive the
+    # row count from the written Parquet footers — a count() before the
+    # write would execute the whole non-materialized DAG twice
     ds.write_parquet(path)
-    return n
+    return _parquet_rows(path)
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count of a written Parquet directory from file footers only.
+    An empty dataset writes no files (Ray skips the sink entirely), so a
+    missing directory means 0 rows, not an error."""
+    import pyarrow.dataset as pads
+
+    if not os.path.isdir(path):
+        return 0
+    return sum(
+        f.metadata.num_rows
+        for f in pads.dataset(path, format="parquet").get_fragments()
+    )
+
+
+def _jsonable_metrics(metrics: dict) -> dict:
+    """Scalar counters plus the dict-valued per-key counter tables
+    (hot_blocks / dropped_blocks / per-stage manifests) — everything a 100×
+    operator needs to see salting and drop decisions without reading
+    manifest files."""
+    return {
+        k: v
+        for k, v in metrics.items()
+        if isinstance(v, (int, float, str, dict))
+    }
 
 
 def cmd_dedup(args: argparse.Namespace) -> dict:
@@ -70,9 +99,7 @@ def cmd_dedup(args: argparse.Namespace) -> dict:
     }
     if args.scores:
         out["scores"] = _write(res.scores, f"{args.out}/scores")
-    out["metrics"] = {
-        k: v for k, v in res.metrics.items() if isinstance(v, (int, float, str))
-    }
+    out["metrics"] = _jsonable_metrics(res.metrics)
     return out
 
 
@@ -83,9 +110,7 @@ def cmd_link(args: argparse.Namespace) -> dict:
     return {
         "matches": _write(res.matches, f"{args.out}/matches"),
         "groups": _write(res.groups, f"{args.out}/groups"),
-        "metrics": {
-            k: v for k, v in res.metrics.items() if isinstance(v, (int, float, str))
-        },
+        "metrics": _jsonable_metrics(res.metrics),
     }
 
 
@@ -107,15 +132,26 @@ def cmd_query(args: argparse.Namespace) -> dict:
         )
     res = queries[args.name](args.sf_dir)
     if hasattr(res, "write_parquet"):
-        return {"rows": _write(res, args.out)}
-    # pandas / Arrow results from driver-side mergers
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+        out = {"rows": _write(res, args.out)}
+    else:
+        # pandas / Arrow results from driver-side mergers
+        import pyarrow as pa
+        import pyarrow.parquet as pq
 
-    table = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
-    os.makedirs(args.out, exist_ok=True)
-    pq.write_table(table, os.path.join(args.out, "part-0.parquet"))
-    return {"rows": table.num_rows}
+        table = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+        os.makedirs(args.out, exist_ok=True)
+        pq.write_table(table, os.path.join(args.out, "part-0.parquet"))
+        out = {"rows": table.num_rows}
+    # surface per-pipeline counters (hot-key salting, dropped blocks,
+    # pinned bytes) recorded by the pipelines this query ran — the operator
+    # sees data-dependent decisions without reading workdir manifests
+    from record_linkage_ldu_ray.runtime import LAST_RUN_METRICS
+
+    if LAST_RUN_METRICS:
+        out["metrics"] = {
+            name: _jsonable_metrics(m) for name, m in LAST_RUN_METRICS.items()
+        }
+    return out
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -148,12 +184,16 @@ def main(argv: list[str] | None = None) -> int:
 
     args = p.parse_args(argv)
     owns_ray = _ray_init(args.num_cpus)
-    result = args.fn(args)
-    print(json.dumps(result))
-    if owns_ray:
-        import ray
+    try:
+        result = args.fn(args)
+        print(json.dumps(result))
+    finally:
+        # shutdown on the error path too — a raised pipeline must not leak
+        # a live local Ray instance into the submitting process
+        if owns_ray:
+            import ray
 
-        ray.shutdown()
+            ray.shutdown()
     return 0
 
 

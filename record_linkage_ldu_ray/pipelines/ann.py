@@ -138,21 +138,56 @@ def kmeans_centroids(
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Trained coarse quantizer: spherical k-means on a deterministic
-    sample (first ``sample_size`` ids), fixed seeded init + fixed iteration
-    count — byte-identical centroids at any parallelism.  The sample is a
-    tiny filtered read; Lloyd iterations run driver-side on (S, d) numpy.
-    At 100 TB the sample stays O(sample_size), not O(corpus)."""
-    t = (
-        ds.filter(expr=f"{id_col} < {sample_size}")
-        .select_columns([id_col, vec_col])
-        .to_arrow_refs()
+    UNBIASED sample — the ``sample_size`` records with the smallest
+    ``hash(salt + str(id))`` (the engine's own splitmix64 id hash, the
+    same membership primitive as ``hash_sample``) — fixed seeded init +
+    fixed iteration count, so centroids are byte-identical at any
+    parallelism and row order.  Min-k over a uniform hash is a uniform
+    sample of exactly ``sample_size`` records; an ``id < sample_size``
+    filter would instead train on whatever source shard owns the low
+    ids (sharded corpora assign id ranges per source).  Each batch
+    contributes at most ``sample_size`` partial winners and the driver
+    folds them stream-wise, so driver memory stays
+    O(sample_size × dim), not O(corpus).  Lloyd iterations run
+    driver-side on (S, d) numpy."""
+    from record_linkage_ldu_ray.pipelines.sampling import _u64_hash
+
+    salt = f"kmeans-sample-{seed}"
+
+    def _partial(t: pa.Table) -> pa.Table:
+        t = t.select([id_col, vec_col])
+        if len(t) == 0:
+            return t.append_column("_h", pa.array([], pa.uint64()))
+        h = _u64_hash(t[id_col].combine_chunks(), salt)
+        if len(h) > sample_size:
+            keep = np.sort(np.argpartition(h, sample_size)[:sample_size])
+            t = t.take(pa.array(keep))
+            h = h[keep]
+        return t.append_column("_h", pa.array(h, pa.uint64()))
+
+    parts = ds.select_columns([id_col, vec_col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    tables = [x for r in t if len(x := ray.get(r))]
-    if not tables:
+    # streaming driver fold: keep the global sample_size smallest (hash, id)
+    ids = np.empty(0, np.int64)
+    hsh = np.empty(0, np.uint64)
+    mat = None
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        if len(b) == 0:
+            continue
+        bm = _as_matrix(b[vec_col], len(b))
+        ids = np.concatenate([ids, b[id_col].to_numpy(zero_copy_only=False)])
+        hsh = np.concatenate([hsh, b["_h"].to_numpy(zero_copy_only=False)])
+        mat = bm if mat is None else np.concatenate([mat, bm])
+        if len(ids) > 2 * sample_size:
+            keep = np.lexsort((ids, hsh))[:sample_size]
+            ids, hsh, mat = ids[keep], hsh[keep], mat[keep]
+    if mat is None or len(ids) == 0:
         raise ValueError("kmeans_centroids: no sample rows matched")
-    tbl = pa.concat_tables(tables)
-    order = np.argsort(tbl[id_col].to_numpy())  # block order → id order
-    mat = _unit_rows(_as_matrix(tbl[vec_col], len(tbl)))[order]
+    keep = np.lexsort((ids, hsh))[:sample_size]
+    ids, mat = ids[keep], mat[keep]
+    order = np.argsort(ids)  # canonical id-order layout for the seeded init
+    mat = _unit_rows(mat)[order]
     rng = np.random.default_rng(seed)
     k_eff = min(n_cells, len(mat))
     init = np.sort(rng.choice(len(mat), size=k_eff, replace=False))

@@ -154,4 +154,7 @@ def dedup_transcripts(
     if man:
         metrics["clusters"] = man["counters"]
 
+    from record_linkage_ldu_ray.runtime import publish_metrics
+
+    publish_metrics("dedup_transcripts", metrics)
     return DedupResult(clusters=clusters, matches=matches, scores=scores, metrics=metrics)

@@ -1977,7 +1977,15 @@ def blocking_quality(
             .str.replace_all(r"\s+", "")
             .str.slice(0, key_len)
         )
-        toks = _ws_token_lists(t[text_col]).list.unique().list.sort()
+        # drop the empty-string artifact of splitting "" so an all-
+        # whitespace document has an EMPTY token set, matching the SQL
+        # oracle's non-empty-token filter (same guard as jaccard_join_all)
+        toks = (
+            _ws_token_lists(t[text_col])
+            .list.eval(pl.element().filter(pl.element() != ""))
+            .list.unique()
+            .list.sort()
+        )
         tok_arr = toks.to_arrow()
         if pa.types.is_large_list(tok_arr.type):
             tok_arr = tok_arr.cast(pa.list_(pa.string()))
@@ -2209,6 +2217,7 @@ def jaccard_join_all(
     text_col: str = "text",
     tau: float = 0.5,
     num_parts: int | None = None,
+    metrics: dict | None = None,
 ):
     """Exact token-set Jaccard self-join over the WHOLE corpus — no
     blocking key, no candidate loss — via AllPairs prefix filtering
@@ -2225,12 +2234,25 @@ def jaccard_join_all(
     frequent tokens never do.
 
     Scale shape: (1) DF pass — per-batch distinct-token partials → one
-    hash exchange → driver merge of the VOCABULARY (≪ corpus; prune to
-    broadcastable size exactly like ``tfidf_top_terms``), broadcast
-    once via ``ray.put``; (2) prefix emission — per-row rarity sort is
-    one lexsort over the batch, each record emits only its prefix
-    tokens (payload = the record's hash list, duplicated prefix-length
-    times); (3) ONE exchange on the prefix token co-locates candidate
+    hash exchange; each partition holds GLOBAL df totals for its hash
+    range and drops df=1 tokens THERE, so the driver merges and
+    broadcasts only the df>=2 vocabulary (``ray.put`` once).  The
+    pruning is exact, not approximate: a df=1 token occurs in exactly
+    one document corpus-wide, so it can never be shared by a pair —
+    never a candidate generator, never a pair's first-common prefix
+    token.  Absent tokens default to rank df=1 in the emission stage
+    (the "default-rank rule"), keeping every record's rarity order and
+    prefix length identical to the unpruned computation.  In a real
+    rare-token-rich corpus the df=1 hapax mass is the BULK of the
+    vocabulary (roughly half, by Zipf), so the broadcast is bounded by
+    the repeated-token vocabulary, not the corpus;
+    ``metrics["df_broadcast_tokens"]`` records the size actually
+    shipped; (2) prefix emission — per-row rarity sort is
+    one lexsort over the batch, each record emits only its df>=2
+    prefix tokens (payload = the record's hash list; df=1 prefix
+    tokens would land in singleton buckets, so skipping them also cuts
+    the exchange volume by the hapax share of every prefix);
+    (3) ONE exchange on the prefix token co-locates candidate
     buckets; within a bucket the triangle is enumerated vectorized and
     verified with the exact float64 Jaccard merge kernel; (4) a narrow
     (id_a, id_b, jaccard) exchange dedupes pairs found under several
@@ -2308,8 +2330,16 @@ def jaccard_join_all(
         d = t["df"].combine_chunks().to_numpy()
         uniq, inv = np.unique(h, return_inverse=True)
         tot = np.bincount(inv, weights=d).astype(np.int64)
+        # this partition owns its hash range after the exchange, so `tot`
+        # is the GLOBAL df — prune the df=1 hapax mass here, before any
+        # bytes head for the driver (exact: a df=1 token lives in one
+        # document and can never generate or own a candidate pair)
+        keep = tot >= 2
         return pa.table(
-            {"h": pa.array(uniq, pa.uint64()), "df": pa.array(tot, pa.int64())}
+            {
+                "h": pa.array(uniq[keep], pa.uint64()),
+                "df": pa.array(tot[keep], pa.int64()),
+            }
         )
 
     df_parts = partitioned_map(prep.map_batches(
@@ -2328,6 +2358,9 @@ def jaccard_join_all(
     else:
         h_all = np.empty(0, np.uint64)
         df_all = np.empty(0, np.int64)
+    if metrics is not None:
+        metrics["df_broadcast_tokens"] = int(len(h_all))
+        metrics["df_broadcast_bytes"] = int(h_all.nbytes + df_all.nbytes)
     df_ref = ray.put((h_all, df_all))
 
     # ---- pass 2: emit prefix tokens ---------------------------------------
@@ -2342,7 +2375,7 @@ def jaccard_join_all(
         )
         if len(t) == 0:
             return empty
-        hv, dv = ray.get(df_ref)
+        hv, dv = ray.get(df_ref)  # df>=2 vocabulary only (pruned upstream)
         arr = t["hashes"].combine_chunks()
         off = arr.offsets.to_numpy().astype(np.int64)
         flat = arr.values.to_numpy().astype(np.uint64)[off[0]: off[-1]]
@@ -2350,7 +2383,17 @@ def jaccard_join_all(
         lens = off[1:] - off[:-1]
         n = len(t)
         parents = np.repeat(np.arange(n, dtype=np.int64), lens)
-        tok_df = dv[np.searchsorted(hv, flat)]
+        # default-rank rule: tokens absent from the pruned broadcast have
+        # df=1 by construction — assign it explicitly so the rarity order
+        # (and hence each record's prefix) is IDENTICAL to the unpruned
+        # computation
+        if len(hv):
+            idx = np.minimum(np.searchsorted(hv, flat), len(hv) - 1)
+            found = hv[idx] == flat
+            tok_df = np.where(found, dv[idx], np.int64(1))
+        else:
+            found = np.zeros(len(flat), bool)
+            tok_df = np.ones(len(flat), np.int64)
         # rarity order within each row: (parent, df asc, hash asc)
         order = np.lexsort((flat, tok_df, parents))
         pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
@@ -2359,14 +2402,20 @@ def jaccard_join_all(
         alpha = np.ceil(tau * lens - 1e-9).astype(np.int64)
         p_len = np.maximum(lens - alpha + 1, 0)
         # `pos` indexes the SORTED layout (lexsort is parent-primary, so
-        # rows are contiguous in parent order with unchanged lengths)
-        keep_sorted = pos < p_len[parents[order]]
+        # rows are contiguous in parent order with unchanged lengths).
+        # df=1 prefix tokens are dropped from the emission AND the carried
+        # prefix lists: they occur in one document, so they can't be the
+        # shared prefix token the AllPairs guarantee needs, can't be a
+        # pair's first-COMMON prefix token (common => df>=2), and their
+        # buckets are singletons — pruning them changes no answer and cuts
+        # the exchange by the hapax share of every prefix.
+        keep_sorted = (pos < p_len[parents[order]]) & found[order]
         sel = order[keep_sorted]
         sel_parents = parents[sel]
-        # each record's full prefix list in rarity order (the ownership
+        # each record's df>=2 prefix list in rarity order (the ownership
         # filter in the bucket stage needs it to find the FIRST common
         # prefix token of a candidate pair)
-        p_counts = np.minimum(p_len, lens)
+        p_counts = np.bincount(sel_parents, minlength=n).astype(np.int64)
         pfx_offsets = np.zeros(n + 1, np.int64)
         np.cumsum(p_counts, out=pfx_offsets[1:])
         pfx_list = pa.LargeListArray.from_arrays(

@@ -162,7 +162,12 @@ def edit_distance_pairs(
         kh = kh[order]
         rid = t["rid"].combine_chunks().to_numpy()[order]
         txt = t["txt"].combine_chunks().take(pa.array(order))
-        lens = pc.utf8_length(txt).to_numpy().astype(np.int64)
+        # clamp to max_len: blocking keys and the DP kernel both operate on
+        # the first max_len code points, so the length-gap filter must too —
+        # unclamped lengths would drop a pair whose clamped distance <= k
+        lens = np.minimum(
+            pc.utf8_length(txt).to_numpy().astype(np.int64), max_len
+        )
         # bucket boundaries over the sorted key column
         n = len(kh)
         starts = np.flatnonzero(np.r_[True, kh[1:] != kh[:-1]])

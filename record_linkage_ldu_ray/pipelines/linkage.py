@@ -207,6 +207,9 @@ def link_datasets(
 
     groups = clusters.map_batches(_split_side, batch_format="pyarrow", zero_copy_batch=True)
 
+    from record_linkage_ldu_ray.runtime import publish_metrics
+
+    publish_metrics("link_datasets", metrics)
     return LinkResult(matches=matches, groups=groups, scores=scores, metrics=metrics)
 
 
@@ -216,6 +219,7 @@ def link_increment(
     delta_ts,
     cfg: PipelineConfig | None = None,
     cross_rules: CrossRuleConfig | None = None,
+    matches=None,
 ):
     """Incremental linkage — the production "append a new batch to an
     already-clustered corpus" shape (the reference re-runs the full LDU↔HW
@@ -237,6 +241,14 @@ def link_increment(
     ``existing_clusters``: Dataset (conv_id, cluster_id) — the output of a
     previous ``dedup_transcripts`` / ``link_increment`` run.
 
+    ``matches``: optional pre-computed existing↔delta match edges
+    (Dataset with ``conv_id_a`` = existing key, ``conv_id_b`` = delta key).
+    When given, the built-in bipartite matcher (:func:`link_datasets`) is
+    skipped and only the ASSIGNMENT rule runs — this is how the
+    SQL-expressible-matcher oracle variant (``link_increment_exact``)
+    proves the assignment rule hash-exact, and how a caller plugs in a
+    custom matcher (e.g. an exact-key join) without paying for LSH.
+
     Returns Dataset (conv_id, cluster_id, is_new_cluster:bool) — one row
     per DELTA conversation.  Two narrow hash exchanges beyond the linkage
     itself (matches ⨝ cluster map on the existing key; min-per-delta +
@@ -245,7 +257,8 @@ def link_increment(
     from record_linkage_ldu_ray.runtime import partitioned_map
 
     cfg = cfg or PipelineConfig()
-    res = link_datasets(existing_ts, delta_ts, cfg, cross_rules)
+    if matches is None:
+        matches = link_datasets(existing_ts, delta_ts, cfg, cross_rules).matches
     num_parts = cfg.feature_partitions
 
     from record_linkage_ldu_ray.functions.hashing import fnv1a_hash_strings
@@ -272,7 +285,7 @@ def link_increment(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    medges = res.matches.select_columns(["conv_id_a", "conv_id_b"]).map_batches(
+    medges = matches.select_columns(["conv_id_a", "conv_id_b"]).map_batches(
         lambda t: pa.table(
             {
                 "key": t["conv_id_a"].cast(pa.string()),

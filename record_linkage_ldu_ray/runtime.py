@@ -20,6 +20,21 @@ from __future__ import annotations
 import os
 
 
+# Driver-side registry of the most recent run's counters, keyed by pipeline
+# name.  Pipelines that make data-dependent decisions a 100× operator must
+# see (hot-key salting, dropped blocks, pinned bytes) publish here so the
+# CLI can surface them WITHOUT the caller threading a metrics dict through
+# every return type (queries() callables return bare Datasets).  Driver-local
+# by design: counters are tiny driver-visible aggregates, not per-task state.
+LAST_RUN_METRICS: dict[str, dict] = {}
+
+
+def publish_metrics(pipeline: str, metrics: dict) -> None:
+    """Record ``metrics`` as the latest counters for ``pipeline`` (shallow
+    copy — callers keep mutating their own dict after publishing)."""
+    LAST_RUN_METRICS[pipeline] = dict(metrics)
+
+
 def _num_aggregators() -> int:
     """~1 shuffle aggregator per 4 CPUs, scaled WITH the cluster (see
     configure_exchange); ``RL_SHUFFLE_AGGREGATORS`` overrides for tuning

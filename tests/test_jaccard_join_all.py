@@ -81,6 +81,70 @@ class TestJaccardJoinAll:
         assert _run(["", "", "x"], 0.5) == _brute(["", "", "x"], 0.5)
 
 
+class TestDfBroadcastPruning:
+    def test_broadcast_bounded_by_df2_vocab_on_hapax_heavy_corpus(
+        self, ray_session
+    ):
+        """The driver-broadcast vocabulary must contain EXACTLY the df>=2
+        tokens: on a planted hapax-heavy corpus (the realistic Zipf shape
+        where df=1 tokens dominate) the broadcast is a small fraction of
+        the distinct vocabulary, and the join stays brute-force exact."""
+        from collections import Counter
+
+        rng = np.random.default_rng(31)
+        texts = []
+        for i in range(40):
+            hapax = [f"hapax{i}_{k}" for k in range(20)]
+            core = ["core", "alpha" if i % 2 == 0 else "beta"]
+            rng.shuffle(hapax)
+            texts.append(" ".join(hapax + core))
+        # planted near-duplicate pairs so the answer is non-trivial
+        texts += [texts[0], texts[1] + " extra"]
+
+        df = Counter()
+        for t in texts:
+            df.update(set(t.split()))
+        n_df2 = sum(1 for v in df.values() if v >= 2)
+        n_distinct = len(df)
+
+        metrics = {}
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        )
+        got = sorted(
+            (int(r.id_a), int(r.id_b), round(float(r.jaccard), 6))
+            for r in jaccard_join_all(ds, tau=0.3, metrics=metrics)
+            .to_pandas()
+            .itertuples()
+        )
+        assert got == _brute(texts, 0.3)
+        assert len(got) >= 2  # the planted duplicates were found
+        # exactness of the pruning bound: broadcast == df>=2 vocabulary
+        assert metrics["df_broadcast_tokens"] == n_df2
+        # and the hapax mass (the part that would OOM a 100 TB driver)
+        # never ships: >90% of this corpus's vocabulary is df=1
+        assert metrics["df_broadcast_tokens"] < 0.1 * n_distinct
+
+    def test_all_hapax_corpus_broadcasts_nothing(self, ray_session):
+        texts = [f"only{i} tok{i}" for i in range(30)]
+        metrics = {}
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            )
+        )
+        assert jaccard_join_all(ds, tau=0.5, metrics=metrics).count() == 0
+        assert metrics["df_broadcast_tokens"] == 0
+
+
 class TestFirstCommonPositionHash:
     def test_random_vs_brute(self):
         from record_linkage_ldu_ray.pipelines.docdedup import (

@@ -149,6 +149,79 @@ class TestAnnRecall:
         c2 = kmeans_centroids(emb_ds, n_cells=8)
         assert np.array_equal(c1, c2)
 
+    def _clustered_corpus(self):
+        """256 vectors in 4 well-separated clusters, ids assigned so the
+        LOW id range (0..63) is entirely cluster 0 — the sharded-corpus
+        shape where an ``id < sample_size`` training sample would see one
+        source only."""
+        rng = np.random.default_rng(41)
+        centers = np.eye(8)[:4]
+        vecs, true_cluster = [], []
+        for c in range(4):
+            pts = centers[c] + rng.normal(0, 0.05, size=(64, 8))
+            vecs.append(pts / np.linalg.norm(pts, axis=1, keepdims=True))
+            true_cluster += [c] * 64
+        mat = np.concatenate(vecs)
+        return pa.table(
+            {
+                "vec_id": pa.array(range(256), pa.int64()),
+                "embedding": pa.array(
+                    [row.tolist() for row in mat], pa.list_(pa.float64())
+                ),
+            }
+        ), np.array(true_cluster)
+
+    def test_kmeans_sample_unbiased_on_single_source_low_ids(
+        self, ray_session
+    ):
+        """Regression for the ``id < sample_size`` training sample: with
+        ids 0..63 all from one source-cluster, a 64-row sample must still
+        see every cluster (hash-min-k is uniform over ids), so the trained
+        quantizer separates all four clusters instead of shattering the
+        one it saw."""
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.ann import (
+            _as_matrix,
+            _unit_rows,
+            assign_cells,
+            kmeans_centroids,
+        )
+
+        tbl, true_cluster = self._clustered_corpus()
+        ds = ray.data.from_arrow(tbl)
+        cents = kmeans_centroids(ds, n_cells=4, sample_size=64)
+        cells = (
+            assign_cells(ds, cents)
+            .to_pandas()
+            .sort_values("vec_id")["cell"]
+            .to_numpy()
+        )
+        # every true cluster lands in ONE cell, and the 4 clusters use 4
+        # distinct cells — impossible when training saw only cluster 0
+        cell_of = [set(cells[true_cluster == c]) for c in range(4)]
+        assert all(len(s) == 1 for s in cell_of), cell_of
+        assert len(set().union(*cell_of)) == 4, cell_of
+        # and the quantizer actually reconstructs the cluster structure
+        mat = _unit_rows(_as_matrix(tbl["embedding"], len(tbl)))
+        for c in range(4):
+            assert (mat[true_cluster == c] @ cents.T).argmax(axis=1).std() == 0
+
+    def test_kmeans_partition_invariance(self, ray_session):
+        """Centroids are a pure function of the data: identical at any
+        block layout (the sample is min-k over an id hash, not 'whatever
+        rows arrived first')."""
+        import ray.data
+
+        from record_linkage_ldu_ray.pipelines.ann import kmeans_centroids
+
+        tbl, _ = self._clustered_corpus()
+        ds1 = ray.data.from_arrow(tbl)
+        ds2 = ray.data.from_arrow(tbl).repartition(13)
+        c1 = kmeans_centroids(ds1, n_cells=4, sample_size=64)
+        c2 = kmeans_centroids(ds2, n_cells=4, sample_size=64)
+        assert np.array_equal(c1, c2)
+
 
 class TestEmbeddingIvfDedup:
     def test_ivf_cells_beat_label_blocking_vs_bruteforce(self, emb_ds):
