@@ -48,11 +48,13 @@ def _consume(res) -> int:
     return len(res)
 
 
-def run_flagship(sf_dir: str) -> dict:
+def run_flagship(sf_dir: str, mult: float = 1.0) -> dict:
     """Flagship: full transcript-dedup DAG over the deterministic synthetic
     transcript corpus (BASELINE.json input_hint shape), scaled by sf —
     duplicate families + hard negatives + one planted hot anchor block that
     exercises salting.  Corpus generation is input prep and is NOT timed.
+    ``mult`` grows the corpus for scaling legs (amortizes the fixed
+    per-exchange cost that dominates small-corpus end-to-end legs).
 
     Returns elapsed, pairs scored, clusters."""
     from record_linkage_ldu_ray.fixtures import FixtureSpec, cached_fixture
@@ -60,8 +62,8 @@ def run_flagship(sf_dir: str) -> dict:
 
     sf = max(_sf_of(sf_dir), 0.001)
     spec = FixtureSpec(
-        n_families=max(60, int(12000 * sf)),
-        hot_block=int(50000 * sf),
+        n_families=max(60, int(12000 * sf * mult)),
+        hot_block=int(50000 * sf * mult),
         # hot block = near-duplicates of one base conv: every hot pair
         # clears the est gate, so the measured quantity is the full
         # scoring-kernel throughput (the north-rule metric), not just
@@ -144,6 +146,9 @@ def bench_queries(sf_dir: str) -> dict[str, float]:
         "user_event_features",
         "token_counts",
         "minhash_lsh_dup_pairs",
+        # the 100 TB-shaped dedup path end-to-end (LSH pairs → distributed
+        # CC → keep/drop), tracked round-over-round like the flagship
+        "fuzzy_dedup_documents_lsh",
         "ann_topk",
     ]
     if _sf_of(sf_dir) <= 0.011:
@@ -178,7 +183,7 @@ def bench_all_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
-def _worker(sf_dir: str, num_cpus: int, flagship_only: bool) -> None:
+def _worker(sf_dir: str, num_cpus: int, flagship_only: bool, mult: float = 1.0) -> None:
     import ray
 
     ray.init(
@@ -203,7 +208,7 @@ def _worker(sf_dir: str, num_cpus: int, flagship_only: bool) -> None:
     )
     os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
     try:
-        flag = run_flagship(sf_dir)
+        flag = run_flagship(sf_dir, mult)
         queries = {} if flagship_only else bench_queries(sf_dir)
         total = flag["sec"] + sum(queries.values())
         queries["transcript_dedup_fixture"] = round(flag["sec"], 3)
@@ -221,7 +226,7 @@ def _worker(sf_dir: str, num_cpus: int, flagship_only: bool) -> None:
         if flagship_only:
             # scaling workers also probe the scoring exchange in isolation
             # (the north-rule throughput metric)
-            stage = run_scoring_stage(sf_dir)
+            stage = run_scoring_stage(sf_dir, mult)
             out["scoring_stage"] = {
                 "sec": round(stage["sec"], 3),
                 "pairs_scored": stage["pairs_scored"],
@@ -279,9 +284,10 @@ def _stage_worker(sf_dir: str, num_cpus: int, mult: float = 1.0) -> None:
         ray.shutdown()
 
 
-def _run_leg(sf_dir: str, n: int, stage_only: bool) -> dict:
+def _run_leg(sf_dir: str, n: int, stage_only: bool, mult: float = 1.0) -> dict:
     args = [sys.executable, os.path.abspath(__file__), "--_worker", "--cpus", str(n)]
     args.append("--stage-only" if stage_only else "--flagship-only")
+    args += ["--mult", str(mult)]
     proc = subprocess.run(
         args,
         env={**os.environ, "GRAFT_SF_DIR": sf_dir},
@@ -296,7 +302,14 @@ def _run_leg(sf_dir: str, n: int, stage_only: bool) -> dict:
     return json.loads(line[-1])
 
 
-def _scaling(sf_dir: str, lo: int, hi: int, reps: int = 3, e2e_reps: int = 1) -> None:
+def _scaling(
+    sf_dir: str,
+    lo: int,
+    hi: int,
+    reps: int = 3,
+    e2e_reps: int = 1,
+    mult: float = 1.0,
+) -> None:
     """Alternating repeated legs, per-level BEST throughput.
 
     This sandbox node is SHARED: identical legs vary ~2× with external
@@ -323,7 +336,7 @@ def _scaling(sf_dir: str, lo: int, hi: int, reps: int = 3, e2e_reps: int = 1) ->
     for r in range(max(reps, e2e_reps)):
         full = r < e2e_reps
         for n in ((lo, hi) if r % 2 == 0 else (hi, lo)):
-            leg = _run_leg(sf_dir, n, stage_only=not full)
+            leg = _run_leg(sf_dir, n, stage_only=not full, mult=mult)
             if full:
                 e2e_all[n].append(leg["pairs_per_s"])
                 if e2e_best[n] is None or leg["pairs_per_s"] > e2e_best[n]["pairs_per_s"]:
@@ -353,6 +366,7 @@ def _scaling(sf_dir: str, lo: int, hi: int, reps: int = 3, e2e_reps: int = 1) ->
                 "unit": "efficiency",
                 "eff_flagship_end_to_end": round(eff, 3),
                 "e2e_reps_per_level": e2e_reps,
+                "corpus_mult": mult,
                 "sf": _sf_of(sf_dir),
                 "levels": {
                     str(lo): {
@@ -407,11 +421,11 @@ def main() -> None:
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        _scaling(sf_dir, args.lo, args.hi, args.reps, args.e2e_reps)
+        _scaling(sf_dir, args.lo, args.hi, args.reps, args.e2e_reps, args.mult)
     elif args.stage_only:
         _stage_worker(sf_dir, num_cpus, args.mult)
     else:
-        _worker(sf_dir, num_cpus, args.flagship_only)
+        _worker(sf_dir, num_cpus, args.flagship_only, args.mult)
 
 
 if __name__ == "__main__":

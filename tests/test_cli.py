@@ -40,6 +40,11 @@ class TestCli:
             capsys,
         )
         assert rc == 0 and res["clusters"] > 0
+        # salting / drop decisions are operator-visible in the JSON output
+        # (dict-valued per-key counter tables included)
+        assert "hot_blocks" in res["metrics"]
+        assert "dropped_blocks" in res["metrics"]
+        assert isinstance(res["metrics"]["hot_blocks"], dict)
         # resume: same workdir, fresh out dir — stages skip via manifests,
         # results identical
         out2 = str(tmp_path / "out2")
@@ -51,6 +56,20 @@ class TestCli:
         assert rc2 == 0
         assert res2["clusters"] == res["clusters"]
         assert res2["matches"] == res["matches"]
+
+    def test_query_surfaces_pipeline_counters(self, ray_session, tmp_path, capsys):
+        """`query` output carries the counters the pipeline published
+        (hot-key salting / dropped-block decisions) without the operator
+        reading workdir manifests."""
+        out = str(tmp_path / "qm")
+        rc, res = _run(
+            ["query", "transcript_dedup", "--sf-dir", "/root/testdata/sf0.001",
+             "--out", out],
+            capsys,
+        )
+        assert rc == 0 and res["rows"] > 0
+        m = res["metrics"]["dedup_transcripts"]
+        assert "hot_blocks" in m and "dropped_blocks" in m
 
     def test_unknown_query_exits(self, ray_session, tmp_path, capsys):
         import pytest
