@@ -550,11 +550,30 @@ def _q_content_fingerprints(sf_dir: str):
 
 
 def _q_winnowing(sf_dir: str):
+    """Winnowing fingerprints, exploded to one (doc_id, fp) row per selected
+    k-gram hash — scalar shape so the DuckDB oracle (which replays the
+    byte-level rolling polynomial hash + splitmix64 + window minima in pure
+    SQL) can hash-compare; docs with no fingerprints (< k bytes) emit no
+    rows on either side."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
     import ray.data
 
     from record_linkage_ldu_ray.pipelines.textstats import winnowing_fingerprints
 
-    return winnowing_fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+    fps = winnowing_fingerprints(ray.data.read_parquet(f"{sf_dir}/documents.parquet"))
+
+    def _explode(t: _pa.Table) -> _pa.Table:
+        col = t["fingerprints"].combine_chunks()
+        return _pa.table(
+            {
+                "doc_id": t["doc_id"].take(_pc.list_parent_indices(col)),
+                "fp": _pc.list_flatten(col),
+            }
+        )
+
+    return fps.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_ann_topk(sf_dir: str):
@@ -1838,7 +1857,180 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _minhash_perm_values() -> str:
+    """The engine's MinHash permutation parameters inlined as SQL literals
+    (deterministic: fixed config seed → fixed (a, b) arrays — the same
+    embed-the-constant pattern as the stopword list).  64 rows (k, a, b)."""
+    from record_linkage_ldu_ray.config import MinHashConfig
+    from record_linkage_ldu_ray.functions.minhash import perm_params
+
+    a, b = perm_params(MinHashConfig())
+    return ", ".join(
+        f"({k}, {int(a[k])}::UBIGINT, {int(b[k])}::UBIGINT)"
+        for k in range(len(a))
+    )
+
+
+# MinHash-LSH near-dup pairs replayed in pure SQL — the 100 TB-shaped dedup
+# path's oracle.  Chain: whitespace tokens → FNV-1a+splitmix64 token hashes
+# (the proven _SIMHASH_SIG_SQL recipe) → word-3-gram rolling shingle combine
+# (mul-FNV-prime, xor, splitmix per step) → 64 permutations
+# h_k(x)=splitmix64(x*a_k+b_k mod 2^64) with (a_k,b_k) inlined → per-doc
+# per-perm min = signature → 16 band keys (4-row FNV fold + splitmix, +band
+# index, splitmix) → candidate pairs = aligned band-key equality → estimate
+# = low-byte agreement fraction (k/64, an exact double) >= tau.  Byte-exact
+# vs the distributed pipeline (tests/test_minhash_oracle.py).
+# {src}: documents-shaped relation; {tau}: verify threshold.
+_MINHASH_PAIRS_SQL = r"""
+            occ0 AS (
+              SELECT doc_id,
+                     string_split_regex(trim(text,
+                         ' ' || chr(9) || chr(10) || chr(13) || chr(11)
+                             || chr(12)), '\s+') AS arr
+              FROM {src}
+            ),
+            mtoks AS (
+              SELECT doc_id, i, arr[i+1] AS tok, len(arr) AS ntok
+              FROM (SELECT doc_id, arr, unnest(range(len(arr))) AS i
+                    FROM occ0)
+            ),
+            mdist AS (SELECT DISTINCT tok FROM mtoks),
+            mbytes AS (SELECT tok, hex(encode(tok)) AS hx,
+                              length(hex(encode(tok)))//2 AS nb FROM mdist),
+            mfnv(tok, nb, hx, i, h) AS (
+              SELECT tok, nb, hx, 0, 14695981039346656037::UHUGEINT
+              FROM mbytes
+              UNION ALL
+              SELECT tok, nb, hx, i+1,
+                (xor(h::UBIGINT,
+                     ((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))-1)*16
+                      + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))-1
+                     )::UBIGINT
+                    )::UHUGEINT * 1099511628211::UHUGEINT)
+                % 18446744073709551616::UHUGEINT
+              FROM mfnv WHERE i < nb
+            ),
+            mfh AS (SELECT tok, h::UBIGINT AS h FROM mfnv WHERE i = nb),
+            mt1 AS (SELECT tok, ((h::UHUGEINT + 11400714819323198485::UHUGEINT)
+                     % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM mfh),
+            mt2 AS (SELECT tok, ((xor(z, z >> 30)::UHUGEINT
+                      * 13787848793156543929::UHUGEINT)
+                     % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM mt1),
+            mt3 AS (SELECT tok, ((xor(z, z >> 27)::UHUGEINT
+                      * 10723151780598845931::UHUGEINT)
+                     % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM mt2),
+            mth AS (SELECT tok, xor(z, z >> 31) AS h FROM mt3),
+            pth AS (SELECT t.doc_id, t.i, t.ntok, h.h
+                    FROM mtoks t JOIN mth h USING (tok)),
+            -- word-3-gram rolling combine: comb = sm(sm(h0*P ^ h1)*P ^ h2)
+            s0 AS (
+              SELECT a.doc_id, a.i,
+                     ((a.h::UHUGEINT * 1099511628211::UHUGEINT)
+                      % 18446744073709551616::UHUGEINT)::UBIGINT AS m0,
+                     b.h AS h1, c.h AS h2
+              FROM pth a
+              JOIN pth b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+              JOIN pth c ON c.doc_id = a.doc_id AND c.i = a.i + 2
+              WHERE a.i <= a.ntok - 3
+            ),
+            c0 AS (SELECT doc_id, i, xor(m0, h1) AS v, h2 FROM s0),
+            c1 AS (SELECT doc_id, i, ((v::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z, h2 FROM c0),
+            c2 AS (SELECT doc_id, i, ((xor(z, z >> 30)::UHUGEINT
+                     * 13787848793156543929::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z, h2 FROM c1),
+            c3 AS (SELECT doc_id, i, ((xor(z, z >> 27)::UHUGEINT
+                     * 10723151780598845931::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z, h2 FROM c2),
+            c4 AS (SELECT doc_id, i, xor(z, z >> 31) AS v, h2 FROM c3),
+            d0 AS (SELECT doc_id, i,
+                     xor(((v::UHUGEINT * 1099511628211::UHUGEINT)
+                          % 18446744073709551616::UHUGEINT)::UBIGINT, h2) AS v
+                   FROM c4),
+            d1 AS (SELECT doc_id, i, ((v::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM d0),
+            d2 AS (SELECT doc_id, i, ((xor(z, z >> 30)::UHUGEINT
+                     * 13787848793156543929::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM d1),
+            d3 AS (SELECT doc_id, i, ((xor(z, z >> 27)::UHUGEINT
+                     * 10723151780598845931::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM d2),
+            shingles AS (SELECT DISTINCT doc_id, xor(z, z >> 31) AS x FROM d3),
+            perms(k, a, b) AS (VALUES {perm_vals}),
+            hv0 AS (
+              SELECT s.doc_id, p.k,
+                     (((s.x::UHUGEINT * p.a::UHUGEINT)
+                       % 18446744073709551616::UHUGEINT + p.b::UHUGEINT)
+                      % 18446744073709551616::UHUGEINT)::UBIGINT AS v
+              FROM shingles s CROSS JOIN perms p
+            ),
+            hv1 AS (SELECT doc_id, k, ((v::UHUGEINT + 11400714819323198485::UHUGEINT)
+                     % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM hv0),
+            hv2 AS (SELECT doc_id, k, ((xor(z, z >> 30)::UHUGEINT
+                      * 13787848793156543929::UHUGEINT)
+                     % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM hv1),
+            hv3 AS (SELECT doc_id, k, ((xor(z, z >> 27)::UHUGEINT
+                      * 10723151780598845931::UHUGEINT)
+                     % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM hv2),
+            msigs AS (SELECT doc_id, k, min(xor(z, z >> 31)) AS sig
+                      FROM hv3 GROUP BY doc_id, k),
+            -- band key: FNV fold of the band's 4 signature rows, splitmix,
+            -- + band index, splitmix (= lsh_band_hashes)
+            bf AS (
+              SELECT doc_id, k // 4 AS j,
+                     min(CASE WHEN k % 4 = 0 THEN sig END) AS r0,
+                     min(CASE WHEN k % 4 = 1 THEN sig END) AS r1,
+                     min(CASE WHEN k % 4 = 2 THEN sig END) AS r2,
+                     min(CASE WHEN k % 4 = 3 THEN sig END) AS r3
+              FROM msigs GROUP BY doc_id, k // 4
+            ),
+            f1 AS (SELECT doc_id, j, ((xor(14695981039346656037::UBIGINT, r0)::UHUGEINT
+                     * 1099511628211::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS h, r1, r2, r3 FROM bf),
+            f2 AS (SELECT doc_id, j, ((xor(h, r1)::UHUGEINT * 1099511628211::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS h, r2, r3 FROM f1),
+            f3 AS (SELECT doc_id, j, ((xor(h, r2)::UHUGEINT * 1099511628211::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS h, r3 FROM f2),
+            f4 AS (SELECT doc_id, j, ((xor(h, r3)::UHUGEINT * 1099511628211::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS h FROM f3),
+            g1 AS (SELECT doc_id, j, ((h::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM f4),
+            g2 AS (SELECT doc_id, j, ((xor(z, z >> 30)::UHUGEINT
+                     * 13787848793156543929::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM g1),
+            g3 AS (SELECT doc_id, j, ((xor(z, z >> 27)::UHUGEINT
+                     * 10723151780598845931::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM g2),
+            cmb AS (SELECT doc_id, j, xor(z, z >> 31) AS c FROM g3),
+            a1 AS (SELECT doc_id, j, ((c::UHUGEINT + j::UHUGEINT
+                     + 11400714819323198485::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM cmb),
+            a2 AS (SELECT doc_id, j, ((xor(z, z >> 30)::UHUGEINT
+                     * 13787848793156543929::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM a1),
+            a3 AS (SELECT doc_id, j, ((xor(z, z >> 27)::UHUGEINT
+                     * 10723151780598845931::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM a2),
+            mbands AS (SELECT doc_id, j, xor(z, z >> 31) AS key FROM a3),
+            mcand AS (
+              SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+              FROM mbands x JOIN mbands y
+                ON x.j = y.j AND x.key = y.key AND x.doc_id < y.doc_id
+            ),
+            mpairs AS (
+              SELECT c.da, c.db,
+                     sum(CASE WHEN s1.sig % 256 = s2.sig % 256
+                              THEN 1 ELSE 0 END) / CAST(64 AS DOUBLE) AS e
+              FROM mcand c
+              JOIN msigs s1 ON s1.doc_id = c.da
+              JOIN msigs s2 ON s2.doc_id = c.db AND s2.k = s1.k
+              GROUP BY c.da, c.db
+            )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    _mh_pairs = _MINHASH_PAIRS_SQL.replace("{perm_vals}", _minhash_perm_values())
     return {
         "normalize_text": f"""
             SELECT doc_id,
@@ -3255,13 +3447,101 @@ def oracle_sql() -> dict[str, str]:
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
-        # minhash_lsh_dup_pairs, winnowing_fingerprints,
-        # lsh_ann_topk, image_features_stub, transcript_dedup,
-        # bipartite_linkage: sketch-based / model-stub / iterative pipelines
-        # — not SQL-expressible, rows-only.  link_increment's DEFAULT
-        # matcher (link_datasets: MinHash-LSH blocking) is likewise not
-        # SQL-expressible; the injected-matcher variant below proves the
-        # assignment rule oracle-exact.
+        # Winnowing (Schleimer et al. SIGMOD'03) replayed in pure SQL:
+        # byte-level k-gram (k=5) polynomial rolling hash (FNV-prime powers
+        # mod 2^64 as UHUGEINT constants), the engine's splitmix64
+        # finalizer, sliding-window-4 minima via a ROWS frame for long
+        # docs, single min for short docs (1 <= m <= 4), DISTINCT per doc.
+        # Byte-exact vs textstats.winnowing_fingerprints
+        # (tests/test_winnowing_oracle.py).
+        "winnowing_fingerprints": r"""
+            WITH
+            docs AS (
+              SELECT doc_id, hex(encode(coalesce(text,''))) AS hx,
+                     octet_length(encode(coalesce(text,''))) AS nb
+              FROM documents
+            ),
+            pos AS (
+              SELECT doc_id, hx, unnest(range(1, nb - 5 + 2)) AS p,
+                     nb - 4 AS m
+              FROM docs WHERE nb >= 5
+            ),
+            kh AS (
+              SELECT doc_id, p, m,
+                (( (strpos('0123456789ABCDEF', substr(hx, 2*p-1, 1))-1)*16
+                  + strpos('0123456789ABCDEF', substr(hx, 2*p,   1))-1)::UHUGEINT
+                     * 11527715348014283921::UHUGEINT
+                +((strpos('0123456789ABCDEF', substr(hx, 2*p+1, 1))-1)*16
+                  + strpos('0123456789ABCDEF', substr(hx, 2*p+2, 1))-1)::UHUGEINT
+                     * 624165263380053675::UHUGEINT
+                +((strpos('0123456789ABCDEF', substr(hx, 2*p+3, 1))-1)*16
+                  + strpos('0123456789ABCDEF', substr(hx, 2*p+4, 1))-1)::UHUGEINT
+                     * 956575116354345::UHUGEINT
+                +((strpos('0123456789ABCDEF', substr(hx, 2*p+5, 1))-1)*16
+                  + strpos('0123456789ABCDEF', substr(hx, 2*p+6, 1))-1)::UHUGEINT
+                     * 1099511628211::UHUGEINT
+                +((strpos('0123456789ABCDEF', substr(hx, 2*p+7, 1))-1)*16
+                  + strpos('0123456789ABCDEF', substr(hx, 2*p+8, 1))-1)::UHUGEINT
+                ) % 18446744073709551616::UHUGEINT AS h0
+              FROM pos
+            ),
+            sm1 AS (SELECT doc_id, p, m,
+                    ((h0 + 11400714819323198485::UHUGEINT)
+                     % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM kh),
+            sm2 AS (SELECT doc_id, p, m,
+                    ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+                     % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM sm1),
+            sm3 AS (SELECT doc_id, p, m,
+                    ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+                     % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM sm2),
+            hs AS (SELECT doc_id, p, m, xor(z, z >> 31) AS h FROM sm3),
+            wins AS (
+              SELECT doc_id,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+                     p, m
+              FROM hs WHERE m > 4
+            ),
+            longsel AS (SELECT doc_id, fp FROM wins WHERE p <= m - 3),
+            shortsel AS (SELECT doc_id, min(h) AS fp
+                         FROM hs WHERE m <= 4 GROUP BY doc_id)
+            SELECT DISTINCT doc_id, fp FROM (
+              SELECT * FROM longsel UNION ALL SELECT * FROM shortsel)
+        """,
+        # MinHash-LSH near-dup pairs — the 100 TB-shaped dedup path —
+        # replayed exactly in SQL (see _MINHASH_PAIRS_SQL; permutation
+        # constants inlined from the engine's own seeded parameters).
+        "minhash_lsh_dup_pairs": "WITH RECURSIVE "
+        + _mh_pairs.replace("{src}", "documents")
+        + """
+            SELECT da AS doc_id_a, db AS doc_id_b, e AS est_jaccard
+            FROM mpairs WHERE e >= 0.7
+        """,
+        # The full LSH fuzzy-dedup flagship: the SAME pair CTE at tau=0.5,
+        # resolved by the recursive-CTE connected-components + min-id
+        # representative used by the exact variant's oracle.
+        "fuzzy_dedup_documents_lsh": "WITH RECURSIVE "
+        + _mh_pairs.replace("{src}", "documents")
+        + """
+            , p AS (SELECT da AS a, db AS b FROM mpairs WHERE e >= 0.5),
+            ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(src, dst) AS (
+              SELECT a, a FROM ed
+              UNION
+              SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+            rep AS (SELECT src AS doc_id, min(dst) AS rep_id
+                    FROM reach GROUP BY src)
+            SELECT d.doc_id,
+                   coalesce(rep.rep_id, d.doc_id) AS rep_id,
+                   coalesce(rep.rep_id, d.doc_id) = d.doc_id AS keep
+            FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
+        """,
+        # lsh_ann_topk, ivf_ann_topk, image_features_stub, transcript_dedup,
+        # bipartite_linkage: float-RNG / model-stub / iterative pipelines —
+        # not SQL-expressible, rows-only.  link_increment's DEFAULT matcher
+        # (link_datasets: MinHash-LSH blocking over transcript FEATURES, a
+        # multi-stage float DAG) stays rows-only; the injected-matcher
+        # variant below proves the assignment rule oracle-exact.
         "link_increment_exact": f"""
             WITH toks AS (
               SELECT doc_id, source, list_distinct({_WS_WORDS}) AS w
