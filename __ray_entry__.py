@@ -2029,8 +2029,233 @@ _MINHASH_PAIRS_SQL = r"""
 """
 
 
+def _sm_sql(src: str, keys: str, v: str, prefix: str, out: str, oname: str) -> str:
+    """One splitmix64 finalizer as chained CTEs (functions/hashing.py:61-68):
+    z += golden; z = (z^z>>30)*C1; z = (z^z>>27)*C2; z ^= z>>31 — the same
+    constants every engine hash path uses, so SQL replays stay byte-exact."""
+    return f"""
+{prefix}1 AS (SELECT {keys}, (({v}::UHUGEINT + 11400714819323198485::UHUGEINT)
+         % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM {src}),
+{prefix}2 AS (SELECT {keys}, ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+         % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM {prefix}1),
+{prefix}3 AS (SELECT {keys}, ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+         % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM {prefix}2),
+{out} AS (SELECT {keys}, xor(z, z >> 31) AS {oname} FROM {prefix}3)"""
+
+
+def _jw_sql(a: str, b: str, out: str) -> str:
+    """Jaro-Winkler exactly as the engine's kernel computes it
+    (functions/sim.py:84-106 with the default boost_threshold=0.0): plain
+    Jaro (DuckDB's jaro_similarity is bit-equal to the engine's, verified
+    by the snm_pair_scores oracle), then the Winkler prefix boost applied
+    UNCONDITIONALLY whenever jaro > 0 — DuckDB's own
+    jaro_winkler_similarity boosts only above jaro 0.7, so it is NOT usable
+    here.  Gated to 0 when either side is empty or the pair's MinHash
+    estimate sits under the est_floor (stages/scoring.py:95-110 zero + gate
+    semantics), and rounded to float32 like every scorer feature."""
+    return f"""
+    CASE WHEN est >= 0.15 AND len({a}) > 0 AND len({b}) > 0
+         THEN CAST(CASE WHEN jaro_similarity({a}, {b}) > 0
+              THEN jaro_similarity({a}, {b})
+                   + (CASE WHEN substr({a},1,4) = substr({b},1,4) THEN 4
+                           WHEN substr({a},1,3) = substr({b},1,3) THEN 3
+                           WHEN substr({a},1,2) = substr({b},1,2) THEN 2
+                           WHEN substr({a},1,1) = substr({b},1,1) THEN 1
+                           ELSE 0 END * 0.1) * (1.0 - jaro_similarity({a}, {b}))
+              ELSE 0.0 END AS FLOAT)
+         ELSE CAST(0 AS FLOAT) END AS {out}"""
+
+
+def _flagship_features_sql() -> str:
+    """The flagship dedup DAG's S1-S3 replayed in SQL over ``documents``:
+    deterministic transcript synthesis (relational.py:648-692
+    transcripts_from_documents), per-conversation features
+    (stages/features.py FeatureExtractor — sorted-unique normalized token
+    set, role/tool sequences, n_turns, 64-char text prefix), FNV-1a+splitmix
+    token hashes, the 64-permutation MinHash signature
+    (functions/minhash.py:33-73), the 16 LSH band keys (4-row FNV fold +
+    splitmix + band-index mix, functions/minhash.py lsh_band_hashes) and the
+    prefix4 blocking key (stages/blocking.py:86-92:
+    splitmix64(fnv1a(prefix4) XOR 0x9E370001)).  ``candidates`` is the
+    engine's exact candidate-pair set: every pair sharing >=1 blocking key.
+    Hot-key SALTING is pair-preserving by construction so it needs no
+    replay; block DROPPING (keys over drop_block_records=4096) cannot
+    trigger at fixture scale (<=5000 records per corpus), which this oracle
+    relies on — exactly the candidate semantics the engine executes on the
+    driver's corpora."""
+    stop = _STOP_SQL
+    perm_vals = _minhash_perm_values()
+    return f"""
+docs AS (SELECT doc_id, 'doc-' || CAST(doc_id AS VARCHAR) AS conv_id, text
+         FROM documents),
+wc AS (SELECT doc_id, conv_id, len(string_split(text, ' ')) AS nw FROM docs),
+tn AS (SELECT doc_id, conv_id, CAST(ceil(nw / 8.0) AS BIGINT) AS n_turns FROM wc),
+ri AS (SELECT doc_id, unnest(range(n_turns)) AS i FROM tn),
+rs AS (SELECT doc_id,
+              string_agg(CASE WHEN i % 5 = 4 THEN 't'
+                              WHEN i % 2 = 0 THEN 'u' ELSE 'a' END, ''
+                         ORDER BY i) AS role_seq
+       FROM ri GROUP BY doc_id),
+tl AS (SELECT doc_id,
+              CASE WHEN n_turns // 5 = 0 THEN ''
+                   ELSE rtrim(repeat('search,', CAST(n_turns // 5 AS BIGINT)), ',')
+              END AS tool_seq
+       FROM tn),
+ntk AS (SELECT doc_id,
+               list_sort(list_distinct(list_filter(
+                 string_split_regex(lower(text), '[^a-z0-9]+'),
+                 x -> x <> '' AND NOT list_contains({stop}, x)))) AS toks
+        FROM docs),
+feat AS (SELECT doc_id, len(toks) AS n_tokens,
+                substr(array_to_string(toks, ' '), 1, 64) AS text_prefix,
+                toks
+         FROM ntk),
+dtok AS (SELECT DISTINCT unnest(toks) AS tok FROM ntk),
+tbytes AS (SELECT tok, hex(encode(tok)) AS hx,
+                  length(hex(encode(tok)))//2 AS nb FROM dtok),
+tfnv(tok, nb, hx, i, h) AS (
+  SELECT tok, nb, hx, 0, 14695981039346656037::UHUGEINT FROM tbytes
+  UNION ALL
+  SELECT tok, nb, hx, i+1,
+    (xor(h::UBIGINT, ((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))-1)*16
+       + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))-1)::UBIGINT)::UHUGEINT
+     * 1099511628211::UHUGEINT) % 18446744073709551616::UHUGEINT
+  FROM tfnv WHERE i < nb),
+tfh AS (SELECT tok, h::UBIGINT AS h FROM tfnv WHERE i = nb),
+{_sm_sql('tfh', 'tok', 'h', 'tx', 'th', 'h')},
+dth AS (SELECT e.doc_id, th.h
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM ntk) e JOIN th USING (tok)),
+perms(k, a, b) AS (VALUES {perm_vals}),
+hv0 AS (SELECT d.doc_id, p.k,
+        (((d.h::UHUGEINT * p.a::UHUGEINT) % 18446744073709551616::UHUGEINT
+          + p.b::UHUGEINT) % 18446744073709551616::UHUGEINT)::UBIGINT AS v
+        FROM dth d CROSS JOIN perms p),
+{_sm_sql('hv0', 'doc_id, k', 'v', 'hx', 'hxf', 'hv')},
+sigs AS (SELECT doc_id, k, min(hv) AS sig FROM hxf GROUP BY doc_id, k),
+bf AS (
+  SELECT doc_id, k // 4 AS j,
+         min(CASE WHEN k % 4 = 0 THEN sig END) AS r0,
+         min(CASE WHEN k % 4 = 1 THEN sig END) AS r1,
+         min(CASE WHEN k % 4 = 2 THEN sig END) AS r2,
+         min(CASE WHEN k % 4 = 3 THEN sig END) AS r3
+  FROM sigs GROUP BY doc_id, k // 4),
+f1 AS (SELECT doc_id, j, ((xor(14695981039346656037::UBIGINT, r0)::UHUGEINT
+         * 1099511628211::UHUGEINT)
+        % 18446744073709551616::UHUGEINT)::UBIGINT AS h, r1, r2, r3 FROM bf),
+f2 AS (SELECT doc_id, j, ((xor(h, r1)::UHUGEINT * 1099511628211::UHUGEINT)
+        % 18446744073709551616::UHUGEINT)::UBIGINT AS h, r2, r3 FROM f1),
+f3 AS (SELECT doc_id, j, ((xor(h, r2)::UHUGEINT * 1099511628211::UHUGEINT)
+        % 18446744073709551616::UHUGEINT)::UBIGINT AS h, r3 FROM f2),
+f4 AS (SELECT doc_id, j, ((xor(h, r3)::UHUGEINT * 1099511628211::UHUGEINT)
+        % 18446744073709551616::UHUGEINT)::UBIGINT AS h FROM f3),
+{_sm_sql('f4', 'doc_id, j', 'h', 'bg', 'bgf', 'c')},
+ab0 AS (SELECT doc_id, j,
+        ((c::UHUGEINT + j::UHUGEINT) % 18446744073709551616::UHUGEINT)::UBIGINT AS v
+        FROM bgf),
+{_sm_sql('ab0', 'doc_id, j', 'v', 'abx', 'bandk', 'key')},
+pfx AS (SELECT doc_id, substr(toks[1], 1, 4) AS p4 FROM ntk WHERE len(toks) > 0),
+dpf AS (SELECT DISTINCT p4 FROM pfx),
+pbytes AS (SELECT p4, hex(encode(p4)) AS hx, length(hex(encode(p4)))//2 AS nb FROM dpf),
+pfnv(p4, nb, hx, i, h) AS (
+  SELECT p4, nb, hx, 0, 14695981039346656037::UHUGEINT FROM pbytes
+  UNION ALL
+  SELECT p4, nb, hx, i+1,
+    (xor(h::UBIGINT, ((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))-1)*16
+       + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))-1)::UBIGINT)::UHUGEINT
+     * 1099511628211::UHUGEINT) % 18446744073709551616::UHUGEINT
+  FROM pfnv WHERE i < nb),
+pfh AS (SELECT p4, h::UBIGINT AS h FROM pfnv WHERE i = nb),
+{_sm_sql('pfh', 'p4', 'h', 'px', 'ph1', 'h1')},
+pxr AS (SELECT p4, xor(h1, 2654142465::UBIGINT) AS v FROM ph1),
+{_sm_sql('pxr', 'p4', 'v', 'pxx', 'pkey', 'key')},
+prefk AS (SELECT f.doc_id, pk.key FROM pfx f JOIN pkey pk USING (p4)),
+allk AS (SELECT doc_id, key FROM bandk UNION ALL SELECT doc_id, key FROM prefk),
+candidates AS (
+  SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+  FROM allk x JOIN allk y ON x.key = y.key AND x.doc_id < y.doc_id)"""
+
+
+def _flagship_pair_features_sql() -> str:
+    """Pair scoring replayed bit-exactly in SQL (stages/pairs.py MinHash
+    estimate over full 64-bit signature agreement; stages/scoring.py
+    PairScorer feature set with est_floor=0.15 gating and missing-either->0;
+    every feature CAST to FLOAT because the scorer emits float32).  Expects
+    a ``pairs(da, db)`` CTE upstream; yields ``fx`` with the seven scorer
+    features per pair."""
+    return f"""
+estp AS (SELECT p.da, p.db,
+         CAST(sum(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) / 64.0 AS FLOAT) AS est
+         FROM pairs p JOIN sigs s1 ON s1.doc_id = p.da
+                      JOIN sigs s2 ON s2.doc_id = p.db AND s2.k = s1.k
+         GROUP BY p.da, p.db),
+pf AS (
+  SELECT p.da, p.db,
+         ca.conv_id AS conv_a, cb.conv_id AS conv_b,
+         CASE WHEN fa.n_tokens = 0 OR fb.n_tokens = 0 THEN CAST(0 AS FLOAT)
+              ELSE coalesce(e.est, CAST(0 AS FLOAT)) END AS est,
+         fa.n_tokens AS na, fb.n_tokens AS nb2,
+         fa.toks AS toksa, fb.toks AS toksb,
+         fa.text_prefix AS tpa, fb.text_prefix AS tpb,
+         ra.role_seq AS rsa, rb.role_seq AS rsb,
+         la.tool_seq AS tla, lb.tool_seq AS tlb,
+         ta.n_turns AS nta, tb2.n_turns AS ntb
+  FROM pairs p
+  JOIN tn ca ON ca.doc_id = p.da JOIN tn cb ON cb.doc_id = p.db
+  JOIN feat fa ON fa.doc_id = p.da JOIN feat fb ON fb.doc_id = p.db
+  JOIN rs ra ON ra.doc_id = p.da JOIN rs rb ON rb.doc_id = p.db
+  JOIN tl la ON la.doc_id = p.da JOIN tl lb ON lb.doc_id = p.db
+  JOIN tn ta ON ta.doc_id = p.da JOIN tn tb2 ON tb2.doc_id = p.db
+  LEFT JOIN estp e ON e.da = p.da AND e.db = p.db
+),
+fx AS (
+  SELECT conv_a, conv_b, est,
+    CASE WHEN est >= 0.15
+         THEN coalesce(CAST(CAST(len(list_intersect(toksa, toksb)) AS DOUBLE)
+              / nullif(na + nb2 - len(list_intersect(toksa, toksb)), 0) AS FLOAT),
+              CAST(0 AS FLOAT))
+         ELSE CAST(0 AS FLOAT) END AS jac_text,
+    {_jw_sql('substr(tpa, 1, 64)', 'substr(tpb, 1, 64)', 'jw_text')},
+    {_jw_sql('substr(rsa, 1, 64)', 'substr(rsb, 1, 64)', 'jw_role')},
+    {_jw_sql('substr(tla, 1, 64)', 'substr(tlb, 1, 64)', 'jw_tool')},
+    CAST(exp(-(abs((da - db) * 3600.0) / 604800.0)) AS FLOAT) AS ts_sim,
+    CAST(CAST(least(nta, ntb) AS DOUBLE) / greatest(nta, ntb) AS FLOAT) AS nturns_sim
+  FROM pf
+)"""
+
+
+# Weighted-threshold score (stages/decide.py combined_score_batch) with the
+# engine's float32 accumulation replayed: each term rounds to FLOAT after the
+# gate*multiplier product, and the running sum re-rounds to FLOAT after every
+# add, in SCORE_FEATURES order — near-threshold pairs (min |score-4.6| is
+# ~1e-5 on the sf corpora) decide identically only under this replication.
+_FLAGSHIP_DECIDE_SQL = """
+scored AS (
+  SELECT conv_a, conv_b, est, jac_text, jw_text, jw_role, jw_tool, ts_sim, nturns_sim,
+    CAST(CAST(CAST(CAST(CAST(CAST(
+      CASE WHEN jac_text >= 0.5 THEN CAST(jac_text * CAST(2.0 AS FLOAT) AS FLOAT) ELSE CAST(0 AS FLOAT) END
+      + CASE WHEN jw_text >= 0.5 THEN CAST(jw_text * CAST(1.5 AS FLOAT) AS FLOAT) ELSE CAST(0 AS FLOAT) END AS FLOAT)
+      + CASE WHEN jw_role >= 0.5 THEN CAST(jw_role * CAST(0.5 AS FLOAT) AS FLOAT) ELSE CAST(0 AS FLOAT) END AS FLOAT)
+      + CASE WHEN jw_tool >= 0.25 THEN CAST(jw_tool * CAST(0.5 AS FLOAT) AS FLOAT) ELSE CAST(0 AS FLOAT) END AS FLOAT)
+      + CASE WHEN ts_sim >= 0.25 THEN CAST(ts_sim * CAST(0.25 AS FLOAT) AS FLOAT) ELSE CAST(0 AS FLOAT) END AS FLOAT)
+      + CASE WHEN nturns_sim >= 0.5 THEN CAST(nturns_sim * CAST(0.25 AS FLOAT) AS FLOAT) ELSE CAST(0 AS FLOAT) END AS FLOAT)
+      + CASE WHEN est >= 0.5 THEN CAST(est * CAST(1.0 AS FLOAT) AS FLOAT) ELSE CAST(0 AS FLOAT) END AS FLOAT) AS score
+  FROM fx
+),
+decided AS (
+  SELECT conv_a, conv_b,
+    (score >= 4.6) AS m1,
+    (score >= 2.6 AND jac_text >= 0.45
+     AND (jw_role >= 0.8 OR jw_tool >= 0.8 OR jw_text >= 0.8)) AS m2,
+    (score >= 2.6 AND ts_sim >= 0.9 AND nturns_sim >= 0.9 AND jw_text >= 0.9) AS m3,
+    (jac_text >= 1.0 OR jw_text >= 1.0) AS m4
+  FROM scored
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     _mh_pairs = _MINHASH_PAIRS_SQL.replace("{perm_vals}", _minhash_perm_values())
+    _flagship_feats = _flagship_features_sql()
+    _flagship_pairs = _flagship_pair_features_sql()
     return {
         "normalize_text": f"""
             SELECT doc_id,
@@ -3536,11 +3761,63 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(rep.rep_id, d.doc_id) = d.doc_id AS keep
             FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc_id
         """,
-        # lsh_ann_topk, ivf_ann_topk, image_features_stub, transcript_dedup,
-        # bipartite_linkage: float-RNG / model-stub / iterative pipelines —
-        # not SQL-expressible, rows-only.  link_increment's DEFAULT matcher
-        # (link_datasets: MinHash-LSH blocking over transcript FEATURES, a
-        # multi-stage float DAG) stays rows-only; the injected-matcher
+        # The FLAGSHIP dedup DAG replayed end-to-end in one SQL statement:
+        # transcript synthesis -> per-conv features -> MinHash/LSH + prefix4
+        # blocking (the engine's exact candidate set) -> est-gated float32
+        # scoring -> weighted-threshold 4-mask rule -> recursive-CTE
+        # connected components with min-conv_id labels.  Every stage is the
+        # bit-exact replica documented on its fragment helper
+        # (_flagship_features_sql / _flagship_pair_features_sql /
+        # _FLAGSHIP_DECIDE_SQL); matched-edge sets AND cluster tables were
+        # verified equal against the engine at sf0.001 and sf0.01.
+        "transcript_dedup": "WITH RECURSIVE "
+        + _flagship_feats
+        + ",\npairs AS (SELECT da, db FROM candidates),"
+        + _flagship_pairs
+        + ","
+        + _FLAGSHIP_DECIDE_SQL
+        + """,
+            medges AS (SELECT conv_a AS a, conv_b AS b FROM decided
+                       WHERE m1 OR m2 OR m3 OR m4),
+            ed AS (SELECT a, b FROM medges UNION SELECT b, a FROM medges),
+            reach(src, dst) AS (
+              SELECT a, a FROM ed
+              UNION
+              SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+            rep AS (SELECT src AS conv_id, min(dst) AS cluster_id
+                    FROM reach GROUP BY src)
+            SELECT t.conv_id, coalesce(rep.cluster_id, t.conv_id) AS cluster_id
+            FROM tn t LEFT JOIN rep ON t.conv_id = rep.conv_id
+        """,
+        # The cross-table linkage flagship (pipelines/linkage.py
+        # link_datasets + decide_cross_matches x1-x4 rule): same features
+        # and blocking keys, candidates restricted to cross-side key
+        # collisions (side = (doc_id // 20) % 2 like the query fixture).
+        # No combined score — the cross rule reads raw features.  Verified
+        # edge-set-equal against the engine at sf0.001 and sf0.01.
+        "bipartite_linkage": "WITH RECURSIVE "
+        + _flagship_feats
+        + """,
+            cand2 AS (
+              SELECT x.doc_id AS da, y.doc_id AS db
+              FROM allk x JOIN allk y ON x.key = y.key
+              WHERE (x.doc_id // 20) % 2 = 0 AND (y.doc_id // 20) % 2 = 1
+              GROUP BY x.doc_id, y.doc_id),
+            pairs AS (SELECT da, db FROM cand2),"""
+        + _flagship_pairs
+        + """
+            SELECT conv_a AS conv_id_a, conv_b AS conv_id_b
+            FROM fx
+            WHERE ((jw_text >= 0.95 OR jac_text >= 0.6)
+                   AND (jw_role >= 0.8 OR jw_tool >= 0.8))
+               OR (ts_sim >= 0.9 AND nturns_sim >= 0.9 AND est >= 0.7)
+               OR (ts_sim >= 0.8 AND nturns_sim >= 0.8 AND est >= 0.9)
+               OR (jac_text >= 1.0 OR jw_text >= 1.0)
+        """,
+        # lsh_ann_topk, ivf_ann_topk, image_features_stub: float-RNG /
+        # model-stub pipelines — not SQL-expressible, rows-only.
+        # link_increment's DEFAULT matcher (link_datasets over the delta,
+        # a multi-stage float DAG) stays rows-only; the injected-matcher
         # variant below proves the assignment rule oracle-exact.
         "link_increment_exact": f"""
             WITH toks AS (
