@@ -2043,6 +2043,28 @@ def _sm_sql(src: str, keys: str, v: str, prefix: str, out: str, oname: str) -> s
 {out} AS (SELECT {keys}, xor(z, z >> 31) AS {oname} FROM {prefix}3)"""
 
 
+def _fnv_fold_sql(src: str, col: str, pre: str, out: str) -> str:
+    """FNV-1a 64 fold over the UTF-8 bytes of ``{src}.{col}`` →
+    ``{out}({col}, h)`` — the recursive-CTE byte fold shared by the
+    simhash/minhash oracles, factored for reuse.  Compose with one
+    ``_sm_sql`` pass for ``functions/hashing.py fnv1a_hash_strings``
+    parity (the engine finalizes FNV with a single splitmix64)."""
+    return f"""
+{pre}b AS (SELECT {col}, hex(encode({col})) AS hx,
+                  length(hex(encode({col})))//2 AS nb FROM {src}),
+{pre}f({col}, nb, hx, i, h) AS (
+  SELECT {col}, nb, hx, 0, 14695981039346656037::UHUGEINT FROM {pre}b
+  UNION ALL
+  SELECT {col}, nb, hx, i+1,
+    (xor(h::UBIGINT,
+         ((strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1))-1)*16
+          + strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1))-1)::UBIGINT
+        )::UHUGEINT * 1099511628211::UHUGEINT)
+    % 18446744073709551616::UHUGEINT
+  FROM {pre}f WHERE i < nb),
+{out} AS (SELECT {col}, h::UBIGINT AS h FROM {pre}f WHERE i = nb)"""
+
+
 def _jw_sql(a: str, b: str, out: str) -> str:
     """Jaro-Winkler exactly as the engine's kernel computes it
     (functions/sim.py:84-106 with the default boost_threshold=0.0): plain
@@ -3844,5 +3866,132 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id FROM documents
                   WHERE (doc_id // 20) % 2 = 1) d
             LEFT JOIN inherit i USING (doc_id)
+        """,
+        # Bottom-k sample sketch quantiles replayed exactly: the sketch is a
+        # DETERMINISTIC uniform sample — the k rows with the smallest
+        # splitmix64(fnv1a(event_id)) priority per group — so the global
+        # bottom-k (row_number over priority) reproduces the engine's
+        # merged sample bit-for-bit, and the quantile_disc read-off
+        # (sorted sample element at max(1, ceil(q*n))) is pure integer
+        # indexing.  textstats.value_quantile_sketch.
+        "value_quantile_sketch": "WITH RECURSIVE "
+        + "ids AS (SELECT DISTINCT event_id::VARCHAR AS s FROM events),"
+        + _fnv_fold_sql("ids", "s", "vq", "vqh")
+        + ","
+        + _sm_sql("vqh", "s", "h", "vqs", "vqsm", "h")
+        + ","
+        + _sm_sql("vqsm", "s", "h", "vqt", "vqpri", "pri")
+        + """,
+            ev AS (SELECT e.event_type, e.value, p.pri
+                   FROM events e JOIN vqpri p ON e.event_id::VARCHAR = p.s),
+            rk AS (SELECT event_type, value,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY pri) AS rn
+                   FROM ev),
+            samp AS (SELECT event_type, value FROM rk WHERE rn <= 512),
+            ns AS (SELECT event_type, count(*)::BIGINT AS n
+                   FROM samp GROUP BY event_type),
+            so AS (SELECT event_type, value,
+                          row_number() OVER (PARTITION BY event_type
+                                             ORDER BY value) AS vr
+                   FROM samp)
+            SELECT s.event_type, any_value(n.n) AS n_sample,
+                   max(CASE WHEN s.vr = greatest(1,
+                        CAST(ceil(n.n * 0.5) AS BIGINT))
+                       THEN s.value END) AS q50_est,
+                   max(CASE WHEN s.vr = greatest(1,
+                        CAST(ceil(n.n * 0.9) AS BIGINT))
+                       THEN s.value END) AS q90_est,
+                   max(CASE WHEN s.vr = greatest(1,
+                        CAST(ceil(n.n * 0.99) AS BIGINT))
+                       THEN s.value END) AS q99_est
+            FROM so s JOIN ns n USING (event_type)
+            GROUP BY s.event_type
+        """,
+        # Count-Min sketch replayed exactly (pure integer math): cell
+        # index per row i = splitmix64(fnv1a(token) XOR i*GOLDEN) % w, the
+        # merged counter for a cell is just the total occurrence count of
+        # all tokens landing there (sketch merge = elementwise sum), and
+        # the estimate is the min over the d=4 rows.  Exact heavy-hitter
+        # side = the vocab_top_tokens tie-break (count DESC, token ASC).
+        # functions/countmin.py + textstats.token_freq_cms.
+        "token_freq_cms": "WITH RECURSIVE "
+        + f"""occ AS (SELECT unnest({_WS_WORDS}) AS tok FROM documents),
+            cnt AS (SELECT tok, count(*)::BIGINT AS c FROM occ GROUP BY tok),"""
+        + _fnv_fold_sql("cnt", "tok", "cm", "cmh")
+        + ","
+        + _sm_sql("cmh", "tok", "h", "cms", "cmth", "h")
+        + ","
+        + "rws(i) AS (VALUES (1),(2),(3),(4)),"
+        + """keyed AS (SELECT t.tok, r.i,
+                 xor(t.h, ((r.i::UHUGEINT * 11400714819323198485::UHUGEINT)
+                           % 18446744073709551616::UHUGEINT)::UBIGINT) AS v
+               FROM cmth t CROSS JOIN rws r),"""
+        + _sm_sql("keyed", "tok, i", "v", "cmk", "cmcell", "z")
+        + """,
+            cells AS (SELECT tok, i, z % 16384::UBIGINT AS cell FROM cmcell),
+            cellcnt AS (SELECT i, cell, sum(c)::BIGINT AS cc
+                        FROM cells JOIN cnt USING (tok) GROUP BY i, cell),
+            topk AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 20)
+            SELECT t.tok AS token, t.c AS n_occurrences,
+                   min(cc.cc)::BIGINT AS cms_estimate
+            FROM topk t
+            JOIN cells ce ON ce.tok = t.tok
+            JOIN cellcnt cc ON cc.i = ce.i AND cc.cell = ce.cell
+            GROUP BY t.tok, t.c
+        """,
+        # HyperLogLog replayed exactly.  Register = top-12 hash bits, rank
+        # = 53 - bit_length(low 52 bits) (bin() gives the exact integer
+        # bit length; engine: frexp, textstats.py:986-989).  The engine
+        # computes the harmonic denominator as the EXACT integer
+        # S = sum(2^(53-rank)) (textstats.py:1029-1040), replayed here in
+        # HUGEINT, so the only float ops are one division, the optional
+        # linear-counting m*ln(m/zeros) (DuckDB ln IS libm log, matching
+        # the engine's math.log — np.log would be 1 ulp off), and the
+        # final banker's rounding (emulated in the outer CASE: DuckDB
+        # round() is half-away, Python round() is half-even).
+        "distinct_tokens_hll": "WITH RECURSIVE "
+        + f"""occ AS (SELECT DISTINCT source, unnest({_WS_WORDS}) AS tok
+                      FROM documents),
+            dist AS (SELECT DISTINCT tok FROM occ),"""
+        + _fnv_fold_sql("dist", "tok", "hl", "hlh")
+        + ","
+        + _sm_sql("hlh", "tok", "h", "hls", "hlsm", "h")
+        + ","
+        + _sm_sql("hlsm", "tok", "h", "hlt", "hlth", "h")
+        + """,
+            rr AS (SELECT o.source,
+                          t.h >> 52 AS reg,
+                          t.h & 4503599627370495::UBIGINT AS low
+                   FROM occ o JOIN hlth t USING (tok)),
+            rk AS (SELECT source, reg,
+                          CASE WHEN low = 0 THEN 53
+                               ELSE 53 - length(bin(low)) END AS rank
+                   FROM rr),
+            regs AS (SELECT source, reg, max(rank) AS r
+                     FROM rk GROUP BY source, reg),
+            ss AS (SELECT source,
+                          sum((1::UBIGINT << (53 - r))::HUGEINT)
+                            + (4096 - count(*))::HUGEINT
+                              * (1::UBIGINT << 53)::HUGEINT AS S,
+                          (4096 - count(*))::BIGINT AS zeros
+                   FROM regs GROUP BY source),
+            e0 AS (SELECT source, zeros,
+                          (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096 * 4096
+                            * 9007199254740992.0 / S::DOUBLE AS est
+                   FROM ss),
+            e1 AS (SELECT source,
+                          CASE WHEN est <= 2.5 * 4096 AND zeros > 0
+                               THEN 4096 * ln(4096.0 / zeros)
+                               ELSE est END AS est
+                   FROM e0)
+            SELECT source,
+                   CASE WHEN est - floor(est) = 0.5
+                        THEN CAST(floor(est) AS BIGINT)
+                             + CAST(floor(est) AS BIGINT) % 2
+                        ELSE CAST(round(est) AS BIGINT)
+                        END AS n_distinct_est,
+                   4096::BIGINT AS n_registers
+            FROM e1
         """,
     }

@@ -10,6 +10,7 @@ embarrassingly parallel, no shuffle.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import polars as pl
@@ -1023,10 +1024,19 @@ def distinct_tokens_hll(
         for (g,), sub in df.group_by(group_col):  # ≤ a handful of groups/partition
             mat = np.stack([np.asarray(r, np.uint8) for r in sub["regs"].to_list()])
             regs = mat.max(axis=0)
-            est = alpha * m * m / np.sum(np.ldexp(1.0, -regs.astype(np.int64)))
-            zeros = int(np.count_nonzero(regs == 0))
+            # Exact-integer denominator: sum(2^-reg) scaled by 2^53 is a sum
+            # of integer powers of two (rank <= 53), so S below is the
+            # INFINITELY-PRECISE sum — no float-summation-order dependence,
+            # which makes the estimate bit-identical at any partitioning AND
+            # replayable in SQL (the oracle computes the same S in HUGEINT).
+            counts = np.bincount(regs.astype(np.int64), minlength=54)
+            S = sum(int(c) << (53 - r) for r, c in enumerate(counts.tolist()) if c)
+            est = alpha * m * m * 9007199254740992.0 / S
+            zeros = int(counts[0])
             if est <= 2.5 * m and zeros:
-                est = m * np.log(m / zeros)  # linear-counting small-range fix
+                # math.log (libm), not np.log: numpy's vectorized log can be
+                # 1 ulp off libm, and the SQL oracle's ln() IS libm.
+                est = m * math.log(m / zeros)  # linear-counting small-range fix
             rows[group_col].append(g)
             rows["n_distinct_est"].append(int(round(est)))
             rows["n_registers"].append(m)
