@@ -3608,6 +3608,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(c, 6) AS cos_sim, CAST(rk AS INTEGER) AS rank
             FROM r WHERE rk <= 10
         """,
+        # replays pipelines/ann.py lsh_topk exactly: Rademacher ±1 planes
+        # from splitmix64(seed + j*dim + d) (ann.py _hyperplanes), sign keys
+        # on the raw widened-float32 doubles (sign is scale-invariant so the
+        # engine also skips the unit divide), hamming≤1 multiprobe, cosine
+        # top-10 with (c DESC, vec_id) tie order.  seed 0xA11CE = 659918,
+        # n_bits 6, dim 64 (the fixture embedding width).  Plane/key parity
+        # vs the numpy kernel is pinned by tests/test_lsh_oracle.py.
+        "lsh_ann_topk": """
+            WITH pidx AS (
+              SELECT b.b, d.d, (659918::UBIGINT + (b.b*64 + d.d)::UBIGINT) AS x
+              FROM (SELECT unnest(range(6)) AS b) b,
+                   (SELECT unnest(range(64)) AS d) d),
+            p1 AS (SELECT b, d, ((x::UHUGEINT + 11400714819323198485::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM pidx),
+            p2 AS (SELECT b, d, ((xor(z, z >> 30)::UHUGEINT
+                      * 13787848793156543929::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM p1),
+            p3 AS (SELECT b, d, ((xor(z, z >> 27)::UHUGEINT
+                      * 10723151780598845931::UHUGEINT)
+                    % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM p2),
+            planes AS (SELECT b, d,
+                    CASE WHEN (xor(z, z >> 31) >> 63) & 1::UBIGINT = 1::UBIGINT
+                         THEN 1.0 ELSE -1.0 END AS w FROM p3),
+            pv AS (SELECT b, list(w ORDER BY d) AS pvec FROM planes GROUP BY b),
+            keys AS (
+              SELECT e.vec_id,
+                     sum(CASE WHEN list_dot_product(
+                                     CAST(e.embedding AS DOUBLE[]), p.pvec) > 0
+                              THEN (1::UBIGINT << CAST(p.b AS INTEGER))
+                              ELSE 0::UBIGINT END)::UBIGINT AS key
+              FROM embeddings e CROSS JOIN pv p GROUP BY e.vec_id),
+            q AS (SELECT e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv,
+                         k.key AS qkey
+                  FROM embeddings e JOIN keys k USING (vec_id)
+                  WHERE e.vec_id < 8),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS c
+                  FROM q JOIN (SELECT e2.vec_id, e2.embedding, k2.key
+                               FROM embeddings e2 JOIN keys k2 USING (vec_id)) e
+                    ON bit_count(xor(q.qkey, e.key)) <= 1),
+            r AS (SELECT query_id, vec_id, c,
+                         row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rk
+                  FROM s)
+            SELECT query_id, vec_id, round(c, 6) AS cos_sim, CAST(rk AS INTEGER) AS rank
+            FROM r WHERE rk <= 10
+        """,
         "payload_metadata": """
             SELECT doc_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -3836,7 +3882,7 @@ def oracle_sql() -> dict[str, str]:
                OR (ts_sim >= 0.8 AND nturns_sim >= 0.8 AND est >= 0.9)
                OR (jac_text >= 1.0 OR jw_text >= 1.0)
         """,
-        # lsh_ann_topk, ivf_ann_topk, image_features_stub: float-RNG /
+        # ivf_ann_topk, image_features_stub: float-RNG (PCG64 k-means init) /
         # model-stub pipelines — not SQL-expressible, rows-only.
         # link_increment's DEFAULT matcher (link_datasets over the delta,
         # a multi-stage float DAG) stays rows-only; the injected-matcher

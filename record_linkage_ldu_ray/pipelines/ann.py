@@ -307,8 +307,21 @@ def ivf_topk(
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((n_bits, dim))
+    """Rademacher (±1) sign-projection planes, entry (j, d) derived from
+    ``splitmix64(seed + j*dim + d)``'s top bit.
+
+    ±1 random projections are a published, JL-property-preserving
+    replacement for Gaussian planes (Achlioptas 2003, "Database-friendly
+    random projections"; Li/Hastie/Church 2006) with equivalent sign-LSH
+    behaviour.  Chosen over ``np.random.standard_normal`` because the
+    entries are pure integer arithmetic — the SQL oracle replays them
+    exactly (splitmix64 in UHUGEINT), where a PCG64/ziggurat float stream
+    could not be expressed in SQL at all."""
+    from record_linkage_ldu_ray.functions.hashing import splitmix64
+
+    idx = np.uint64(seed) + np.arange(n_bits * dim, dtype=np.uint64)
+    top = (splitmix64(idx) >> np.uint64(63)).astype(bool)
+    return np.where(top, 1.0, -1.0).reshape(n_bits, dim)
 
 
 def _sign_keys(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
@@ -335,9 +348,14 @@ def lsh_topk(
     bits of some query's key (a near-boundary vector flips a plane sign;
     exact-bucket matching alone loses it).  Same output shape as
     ``brute_force_topk`` (may differ in members — approximate)."""
-    qmat = _unit_rows(np.asarray(query_vectors, np.float64))
+    raw_q = np.asarray(query_vectors, np.float64)
+    qmat = _unit_rows(raw_q)
     planes = _hyperplanes(qmat.shape[1], n_bits, seed)
-    qkeys = _sign_keys(qmat, planes)
+    # sign keys on the RAW doubles: sign(x·p) is invariant under the
+    # positive per-row scaling of _unit_rows, and skipping the divide keeps
+    # the float expression identical to the SQL oracle's (dot of the
+    # widened float32 column against the ±1 plane)
+    qkeys = _sign_keys(raw_q, planes)
     state = ray.put((qmat, qkeys, planes))
 
     def _popcount(x: np.ndarray) -> np.ndarray:
@@ -351,8 +369,9 @@ def lsh_topk(
             return _empty_candidates(id_col)
         q, qk, pl_ = ray.get(state)
         ids = t[id_col].to_numpy()
-        mat = _unit_rows(_as_matrix(t[vec_col], len(t)))
-        keys = _sign_keys(mat, pl_)
+        raw = _as_matrix(t[vec_col], len(t))
+        mat = _unit_rows(raw)
+        keys = _sign_keys(raw, pl_)  # raw doubles — see qkeys comment
         # (n, Q) probe matrix: key within probe_hamming of the query key
         ham = _popcount(keys[:, None] ^ qk[None, :])
         probe = ham <= probe_hamming

@@ -111,8 +111,9 @@ class TestAnnRecall:
 
     def test_lsh_topk_recall(self, emb_ds):
         """Multiprobe (hamming ≤ 2) recall on the sf0.001 embeddings —
-        measured 0.625; exact-bucket matching alone measured 0.125 on the
-        same input (these synthetic vectors are weakly correlated: max
+        measured 0.637 with the Rademacher splitmix64 planes (0.625 with
+        the earlier Gaussian planes; exact-bucket matching alone measured
+        0.125 — these synthetic vectors are weakly correlated: max
         pairwise cosine < 0.5, so sign-LSH is inherently at its limit)."""
         from record_linkage_ldu_ray.pipelines.ann import (
             brute_force_topk,
