@@ -102,6 +102,94 @@ _SIMHASH_SIG_SQL = r"""
 """
 
 
+# CTE chain replaying ``pipelines/ann.py kmeans_centroids`` bit-exactly in
+# SQL (prefix with ``WITH RECURSIVE``; exposes ``kbest(cents)`` — the winning
+# 16 centroids as a list-of-lists — and ``cellof(vec_id, cell)``, the nearest-
+# centroid assignment the engine's ``assign_cells``/``ivf_topk`` compute).
+# Bit-exactness is BY CONSTRUCTION, not luck: the engine quantizes unit rows
+# and centroids to the 2^-20 grid, so every dot product and member sum in
+# Lloyd is a sum of exactly-representable dyadics with exactly-representable
+# partial sums — numpy/BLAS and DuckDB's parallel aggregation cannot differ.
+# Init draws rank ids by splitmix64(vec_id + seed + r) (the same UHUGEINT
+# chain as _SIMHASH_SIG_SQL); the best of 8 restarts wins by the exact
+# within-cell cosine objective (ties → lowest r).  seed 0xC0FFEE = 12648430;
+# n_cells 16, n_iter 10, dim 64; the fixture corpus (500 rows) is under
+# sample_size=2048, so the hash-min-k sample is the whole table.  Parity is
+# pinned by tests/test_kmeans_oracle.py.
+_KMEANS_CENTS_SQL = r"""
+            uq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {src}),
+            nr0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM uq),
+            un AS (SELECT vec_id,
+                          CASE WHEN nrm > 0
+                               THEN list_transform(v, x -> floor(x / nrm * 1048576.0) / 1048576.0)
+                               ELSE list_transform(v, x -> floor(x * 1048576.0) / 1048576.0)
+                          END AS uv,
+                          CASE WHEN nrm > 0
+                               THEN list_transform(v, x -> x / nrm)
+                               ELSE v END AS nv
+                   FROM nr0),
+            rsd AS (SELECT unnest(range(8)) AS r),
+            k0 AS (SELECT r.r, un.vec_id, un.uv,
+                          (((un.vec_id + 12648430 + r.r)::UBIGINT::UHUGEINT
+                            + 11400714819323198485::UHUGEINT)
+                           % 18446744073709551616::UHUGEINT)::UBIGINT AS z
+                   FROM un CROSS JOIN rsd r),
+            k1 AS (SELECT r, vec_id, uv,
+                          ((xor(z, z >> 30)::UHUGEINT * 13787848793156543929::UHUGEINT)
+                           % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM k0),
+            k2 AS (SELECT r, vec_id, uv,
+                          ((xor(z, z >> 27)::UHUGEINT * 10723151780598845931::UHUGEINT)
+                           % 18446744073709551616::UHUGEINT)::UBIGINT AS z FROM k1),
+            k3 AS (SELECT r, vec_id, uv, xor(z, z >> 31) AS h FROM k2),
+            rkd AS (SELECT r, vec_id, uv,
+                           row_number() OVER (PARTITION BY r ORDER BY h, vec_id) AS rn
+                    FROM k3),
+            kinit AS (SELECT r, list(uv ORDER BY vec_id) AS cents
+                      FROM rkd WHERE rn <= 16 GROUP BY r),
+            km(r, it, cents) AS (
+              SELECT r, 0, cents FROM kinit
+              UNION ALL
+              SELECT km.r, km.it + 1, st.nc
+              FROM km, LATERAL (
+                WITH asn AS (
+                  SELECT u.vec_id, u.uv,
+                         (SELECT cc.c
+                          FROM (SELECT unnest(range(16)) AS c) cc
+                          ORDER BY list_dot_product(u.uv, km.cents[cc.c + 1]) DESC, cc.c
+                          LIMIT 1) AS cell
+                  FROM un u),
+                mm AS (SELECT cell, dd.d,
+                              floor(sum(uv[dd.d + 1]) / count(*) * 1048576.0) / 1048576.0 AS md
+                       FROM asn CROSS JOIN (SELECT unnest(range(64)) AS d) dd
+                       GROUP BY cell, dd.d),
+                mv AS (SELECT cell, list(md ORDER BY d) AS mvec FROM mm GROUP BY cell),
+                nv2 AS (SELECT cell, mvec, sqrt(list_dot_product(mvec, mvec)) AS nrm FROM mv),
+                up AS (SELECT cell,
+                              CASE WHEN nrm > 0
+                                   THEN list_transform(mvec, x -> floor(x / nrm * 1048576.0) / 1048576.0)
+                                   ELSE NULL END AS cv
+                       FROM nv2)
+                SELECT list(coalesce(up.cv, km.cents[cc.c + 1]) ORDER BY cc.c) AS nc
+                FROM (SELECT unnest(range(16)) AS c) cc LEFT JOIN up ON up.cell = cc.c
+              ) st
+              WHERE km.it < 10),
+            kfin AS (SELECT r, cents FROM km WHERE it = 10),
+            kobj AS (SELECT f.r, f.cents,
+                            (SELECT sum(mx) FROM (
+                               SELECT (SELECT max(list_dot_product(u.uv, f.cents[cc.c + 1]))
+                                       FROM (SELECT unnest(range(16)) AS c) cc) AS mx
+                               FROM un u) t) AS o
+                     FROM kfin f),
+            kbest AS (SELECT cents FROM kobj ORDER BY o DESC, r LIMIT 1),
+            cellof AS (
+              SELECT u.vec_id,
+                     (SELECT cc.c FROM kbest b, (SELECT unnest(range(16)) AS c) cc
+                      ORDER BY list_dot_product(u.nv, b.cents[cc.c + 1]) DESC, cc.c
+                      LIMIT 1) AS cell
+              FROM un u)
+"""
+
+
 def _curate_documents_sql() -> str:
     from record_linkage_ldu_ray.pipelines.sampling import _hex_threshold
 
@@ -608,7 +696,7 @@ def _q_ivf_ann_topk(sf_dir: str):
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     cents = kmeans_centroids(ds, n_cells=16)
     qmat, qids = load_queries(ds, num_queries=8)
-    return ivf_topk(ds, qmat, qids, cents, k=10, nprobe=4)
+    return ivf_topk(ds, qmat, qids, cents, k=10, nprobe=6)
 
 
 def _q_embedding_dup_pairs_ivf(sf_dir: str):
@@ -2673,12 +2761,78 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.4
         """,
+        # IVF variants: the blocking column is the ENGINE-TRAINED coarse
+        # quantizer, replayed bit-exactly by _KMEANS_CENTS_SQL (see its
+        # comment for why no float-order hazard exists)
+        "embedding_dup_pairs_ivf": "WITH RECURSIVE "
+        + _KMEANS_CENTS_SQL.format(src="embeddings").lstrip()
+        + """
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+            FROM embeddings a, embeddings b, cellof ca, cellof cb
+            WHERE ca.vec_id = a.vec_id AND cb.vec_id = b.vec_id
+              AND ca.cell = cb.cell AND a.vec_id < b.vec_id
+              AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+        "ivf_ann_topk": "WITH RECURSIVE "
+        + _KMEANS_CENTS_SQL.format(src="embeddings").lstrip()
+        + """,
+            qs AS (SELECT u.vec_id AS query_id, u.nv AS qv FROM un u
+                   WHERE u.vec_id < 8),
+            probed AS (
+              SELECT q.query_id, cc.c AS cell,
+                     row_number() OVER (PARTITION BY q.query_id
+                        ORDER BY list_dot_product(q.qv, b.cents[cc.c + 1]) DESC,
+                                 cc.c) AS pk
+              FROM qs q CROSS JOIN kbest b
+              CROSS JOIN (SELECT unnest(range(16)) AS c) cc),
+            sc AS (SELECT p.query_id, cf.vec_id,
+                          list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                                 CAST(eb.embedding AS DOUBLE[])) AS c
+                   FROM probed p
+                   JOIN cellof cf ON cf.cell = p.cell AND p.pk <= 6
+                   JOIN embeddings ea ON ea.vec_id = p.query_id
+                   JOIN embeddings eb ON eb.vec_id = cf.vec_id),
+            rr AS (SELECT query_id, vec_id, c,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY c DESC, vec_id) AS rk
+                   FROM sc)
+            SELECT query_id, vec_id, round(c, 6) AS cos_sim,
+                   CAST(rk AS INTEGER) AS rank
+            FROM rr WHERE rk <= 10
+        """,
         "semantic_dedup": """
             WITH RECURSIVE p AS (
               SELECT a.vec_id AS a, b.vec_id AS b
               FROM embeddings a JOIN embeddings b
                 ON a.label = b.label AND a.vec_id < b.vec_id
               WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.4),
+            ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
+            reach(src, dst) AS (
+              SELECT a, a FROM ed
+              UNION
+              SELECT r.src, ed.b FROM reach r JOIN ed ON r.dst = ed.a),
+            rep AS (SELECT src AS vec_id, min(dst) AS rep_id
+                    FROM reach GROUP BY src)
+            SELECT e.vec_id,
+                   coalesce(rep.rep_id, e.vec_id) AS rep_id,
+                   coalesce(rep.rep_id, e.vec_id) = e.vec_id AS keep
+            FROM embeddings e LEFT JOIN rep ON e.vec_id = rep.vec_id
+        """,
+        # SemDeDup over the engine-trained IVF cells (same CC machinery as
+        # semantic_dedup, cells from the bit-exact _KMEANS_CENTS_SQL replay)
+        "semantic_dedup_ivf": "WITH RECURSIVE "
+        + _KMEANS_CENTS_SQL.format(src="embeddings").lstrip()
+        + """,
+            p AS (
+              SELECT a.vec_id AS a, b.vec_id AS b
+              FROM embeddings a, embeddings b, cellof ca, cellof cb
+              WHERE ca.vec_id = a.vec_id AND cb.vec_id = b.vec_id
+                AND ca.cell = cb.cell AND a.vec_id < b.vec_id
+                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])) >= 0.4),
             ed AS (SELECT a, b FROM p UNION SELECT b, a FROM p),
             reach(src, dst) AS (
@@ -3882,8 +4036,7 @@ def oracle_sql() -> dict[str, str]:
                OR (ts_sim >= 0.8 AND nturns_sim >= 0.8 AND est >= 0.9)
                OR (jac_text >= 1.0 OR jw_text >= 1.0)
         """,
-        # ivf_ann_topk, image_features_stub: float-RNG (PCG64 k-means init) /
-        # model-stub pipelines — not SQL-expressible, rows-only.
+        # image_features_stub: model-stub pipeline — rows-only by design.
         # link_increment's DEFAULT matcher (link_datasets over the delta,
         # a multi-stage float DAG) stays rows-only; the injected-matcher
         # variant below proves the assignment rule oracle-exact.

@@ -32,6 +32,16 @@ def _unit_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms[:, None]
 
 
+_GRID = 1048576.0  # 2^20
+
+
+def _quant_grid(mat: np.ndarray) -> np.ndarray:
+    """Snap to the 2^-20 dyadic grid via floor — both the ×2^20 scaling and
+    the ÷2^20 are exact powers-of-two, and floor is identical in numpy and
+    SQL, so quantization is bit-exact everywhere given identical input."""
+    return np.floor(mat * _GRID) / _GRID
+
+
 def _empty_candidates(id_col: str) -> pa.Table:
     return pa.table(
         {
@@ -134,15 +144,20 @@ def kmeans_centroids(
     sample_size: int = 2048,
     n_iter: int = 10,
     seed: int = 0xC0FFEE,
+    n_restarts: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
-    """Trained coarse quantizer: spherical k-means on a deterministic
-    UNBIASED sample — the ``sample_size`` records with the smallest
-    ``hash(salt + str(id))`` (the engine's own splitmix64 id hash, the
-    same membership primitive as ``hash_sample``) — fixed seeded init +
-    fixed iteration count, so centroids are byte-identical at any
-    parallelism and row order.  Min-k over a uniform hash is a uniform
+    """Trained coarse quantizer: grid-quantized spherical k-means, best of
+    ``n_restarts`` splitmix64-seeded uniform inits by within-cell cosine
+    objective, on a deterministic UNBIASED sample — the ``sample_size``
+    records with the smallest ``hash(salt + str(id))`` (the engine's own
+    splitmix64 id hash, the same membership primitive as ``hash_sample``)
+    — so centroids are byte-identical at any parallelism and row order,
+    AND bit-identical to the SQL oracle's recursive-CTE replay (see
+    ``__ray_entry__`` ``_KMEANS_CENTS_SQL``): every sum in the iteration
+    is exact on the 2^-20 grid, so no float-accumulation-order hazard
+    exists anywhere in the chain.  Min-k over a uniform hash is a uniform
     sample of exactly ``sample_size`` records; an ``id < sample_size``
     filter would instead train on whatever source shard owns the low
     ids (sharded corpora assign id ranges per source).  Each batch
@@ -187,21 +202,51 @@ def kmeans_centroids(
     keep = np.lexsort((ids, hsh))[:sample_size]
     ids, mat = ids[keep], mat[keep]
     order = np.argsort(ids)  # canonical id-order layout for the seeded init
-    mat = _unit_rows(mat)[order]
-    rng = np.random.default_rng(seed)
+    # Grid-quantized spherical Lloyd: unit rows snapped to the 2^-20 grid
+    # (floor), so every value in the iteration is a dyadic rational with
+    # ≤20 fractional bits and |x| ≤ 1.  Consequences, by construction:
+    #   * dot products (products are multiples of 2^-40, partial sums
+    #     bounded by dim) and member sums (bounded by sample_size) are
+    #     EXACT in float64 under ANY summation order — assignments and
+    #     centroid updates are bit-identical across numpy, BLAS, and the
+    #     DuckDB SQL oracle's parallel aggregation;
+    #   * the only rounding steps left (mean division, norm sqrt, renorm
+    #     division) are single correctly-rounded IEEE ops, identical
+    #     everywhere.
+    # The 1e-6 grid perturbs centroids far below the recall gates'
+    # sensitivity (tests/test_recall.py) and buys an exactly-replayable
+    # quantizer: the SQL oracle runs the same 10 Lloyd iterations.
+    mat = _quant_grid(_unit_rows(mat))[order]
+    ids_sorted = ids[order].astype(np.uint64)
     k_eff = min(n_cells, len(mat))
-    init = np.sort(rng.choice(len(mat), size=k_eff, replace=False))
-    cents = mat[init].copy()
-    for _ in range(n_iter):
-        assign = (mat @ cents.T).argmax(axis=1)
-        for c in range(k_eff):
-            members = mat[assign == c]
-            if len(members):
-                v = members.mean(axis=0)
-                n = np.linalg.norm(v)
-                if n > 0:
-                    cents[c] = v / n
-    return cents
+    # best-of-R restarts (sklearn-style n_init): each restart draws a
+    # uniform k-subset by ranking ids on splitmix64(id + seed + r) — the
+    # exact analogue of a seeded rng.choice, but expressible in SQL — runs
+    # the quantized Lloyd, and the restart with the highest within-cell
+    # cosine objective wins.  The objective is a sum of exact dyadics, so
+    # the selection (ties → lowest r, which never fires in practice) is
+    # bit-identical in the SQL oracle too.
+    from record_linkage_ldu_ray.functions.hashing import splitmix64
+
+    best, best_obj = None, -np.inf
+    for r in range(n_restarts):
+        perm = np.lexsort(
+            (ids_sorted, splitmix64(ids_sorted + np.uint64(seed + r)))
+        )
+        cents = mat[np.sort(perm[:k_eff])].copy()
+        for _ in range(n_iter):
+            assign = (mat @ cents.T).argmax(axis=1)
+            for c in range(k_eff):
+                members = mat[assign == c]
+                if len(members):
+                    v = _quant_grid(members.sum(axis=0) / len(members))
+                    n = np.sqrt((v * v).sum())
+                    if n > 0:
+                        cents[c] = _quant_grid(v / n)
+        obj = float((mat @ cents.T).max(axis=1).sum())  # exact dyadic sum
+        if obj > best_obj:
+            best, best_obj = cents, obj
+    return best
 
 
 def assign_cells(
