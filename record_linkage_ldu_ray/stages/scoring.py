@@ -97,10 +97,28 @@ class PairScorer:
         max_len = min(self.jw_max, 64) if feat == "jw_text" else 64
         ga = _gated(f"{variants[0]}_a")
         la = pc.utf8_length(pc.fill_null(ga, "")).to_numpy(zero_copy_only=False)
+        # candidate pairs repeat string payloads massively (every pair in a
+        # near-duplicate block carries one of a handful of distinct role /
+        # tool sequences, and text prefixes collide across pairs): dictionary-
+        # encode both sides, run the O(L)-per-pair kernel once per DISTINCT
+        # (a, b) string combo, and scatter scores back through the inverse.
+        # Kernel semantics are preserved exactly (null ≡ "" on both the key
+        # and the kernel's pad path, and the missing-either→0 mask below
+        # stays per-row on the full arrays).
+        enc_a = pc.dictionary_encode(pc.fill_null(ga, ""))
+        ia = enc_a.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         best: np.ndarray | None = None
         for v in variants:
             gb = _gated(f"{v}_b")
-            out = kern(ga, gb, max_len=max_len)
+            enc_b = pc.dictionary_encode(pc.fill_null(gb, ""))
+            ib = enc_b.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            combo = ia * np.int64(len(enc_b.dictionary) + 1) + ib
+            _, rep, inv = np.unique(combo, return_index=True, return_inverse=True)
+            if len(rep) < len(combo):
+                rep_idx = pa.array(rep, pa.int64())
+                out = kern(ga.take(rep_idx), gb.take(rep_idx), max_len=max_len)[inv]
+            else:
+                out = kern(ga, gb, max_len=max_len)
             lb = pc.utf8_length(pc.fill_null(gb, "")).to_numpy(zero_copy_only=False)
             s = np.where((la > 0) & (lb > 0), out, np.float32(0.0)).astype(np.float32)
             best = s if best is None else np.maximum(best, s)
