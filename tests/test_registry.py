@@ -154,3 +154,35 @@ class TestKernelRegistry:
             )
         )
         assert base.config_hash() != swapped.config_hash()
+
+
+class TestDistinctComboDedup:
+    """The scorer runs each string kernel once per DISTINCT (a, b) combo and
+    scatters scores back (stages/scoring.py _string_gated); these pin that
+    the dedup path is bit-equal to direct per-row kernel application, with
+    repeats, nulls, and empties mixed."""
+
+    def test_repeated_combos_bit_equal_direct(self):
+        base_a = ["alpha beta", "gamma delta", "alpha beta", None, "", "alpha beta"]
+        base_b = ["alpha bete", "gamma delta", "alpha bete", "x", "y", "other"]
+        texts_a = base_a * 50  # heavy repetition: 300 rows, 6 combos
+        texts_b = base_b * 50
+        out = PairScorer(PipelineConfig())(_pair_batch(texts_a, texts_b))
+        got = out["jw_text"].to_numpy()
+        exp = np.array(
+            [
+                jaro_winkler(a or "", b or "") if (a and b) else 0.0
+                for a, b in zip(texts_a, texts_b)
+            ],
+            dtype=np.float32,
+        )
+        assert np.array_equal(got, exp)
+
+    def test_all_unique_path_unchanged(self):
+        texts_a = [f"user query {i}" for i in range(64)]
+        texts_b = [f"user query {i + 1}" for i in range(64)]
+        out = PairScorer(PipelineConfig())(_pair_batch(texts_a, texts_b))
+        exp = np.array(
+            [jaro_winkler(a, b) for a, b in zip(texts_a, texts_b)], dtype=np.float32
+        )
+        assert np.array_equal(out["jw_text"].to_numpy(), exp)
