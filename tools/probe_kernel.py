@@ -5,10 +5,12 @@ Times the engine's real batched Jaro-Winkler kernel
 synthetic strings, min-of-5 — zero Ray, zero I/O, so run-to-run movement
 measures HOST CPU contention (co-tenant load / steal), not engine changes.
 
-Used to time scaling artifacts (BASELINE.md runs D–J): identical Ray legs
+Used to time scaling artifacts (BASELINE.md runs D–M): identical Ray legs
 on this shared box swing ±2-3× with external load, so heavy measurements
 are launched when this probe reads near its observed session maximum.
-Observed range on this box (2026-08-19): ~11-17k pairs/s per core.
+Observed range on this box: ~11-17k pairs/s per core under the 2026-08-19
+co-tenant load; 102-107k pairs/s in the quiet 2026-08-20 windows runs J-M
+were launched in (same code — the spread IS the documented tenant noise).
 
 Usage:  python tools/probe_kernel.py  [N_PAIRS]
 """
