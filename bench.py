@@ -413,19 +413,38 @@ def main() -> None:
     ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--hi", type=int, default=16)
     ap.add_argument("--reps", type=int, default=3)
-    ap.add_argument("--e2e-reps", dest="e2e_reps", type=int, default=1)
-    ap.add_argument("--mult", type=float, default=1.0)
+    # defaults reproduce the criterion artifact protocol (BASELINE.md run
+    # L): 3 end-to-end reps per level and an 8× corpus — post-optimization
+    # per-leg walls are short enough that the per-invocation constant
+    # (aggregator spawn + scheduling waves, ~6 s/stage, data- and
+    # CPU-independent) dominates small corpora and masks the scalable term
+    ap.add_argument("--e2e-reps", dest="e2e_reps", type=int, default=3)
+    # None → 8× corpus for --scaling (the criterion artifact shape), 1×
+    # for the per-round headline run (round-over-round comparability)
+    ap.add_argument("--mult", type=float, default=None)
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if args.scaling:
-        _scaling(sf_dir, args.lo, args.hi, args.reps, args.e2e_reps, args.mult)
+        _scaling(
+            sf_dir,
+            args.lo,
+            args.hi,
+            args.reps,
+            args.e2e_reps,
+            args.mult if args.mult is not None else 8.0,
+        )
     elif args.stage_only:
-        _stage_worker(sf_dir, num_cpus, args.mult)
+        _stage_worker(sf_dir, num_cpus, args.mult if args.mult is not None else 1.0)
     else:
-        _worker(sf_dir, num_cpus, args.flagship_only, args.mult)
+        _worker(
+            sf_dir,
+            num_cpus,
+            args.flagship_only,
+            args.mult if args.mult is not None else 1.0,
+        )
 
 
 if __name__ == "__main__":
