@@ -886,22 +886,13 @@ def _q_dedup_threshold_curve(sf_dir: str):
     from record_linkage_ldu_ray.functions.rounding import round6
     from record_linkage_ldu_ray.pipelines.docdedup import (
         _pair_jaccard_f64,
-        _ws_token_lists,
+        _prep_tokens,
     )
     from record_linkage_ldu_ray.pipelines.evaluate import threshold_curve
     from record_linkage_ldu_ray.pipelines.problink import block_pairs
 
     def _prep(t: _pa.Table) -> _pa.Table:
-        import polars as _pl
-
-        # drop the empty-string artifact of splitting "" (oracle parity:
-        # the SQL side filters x <> '' — same guard as jaccard_join_all)
-        toks = (
-            _ws_token_lists(t["text"])
-            .list.eval(_pl.element().filter(_pl.element() != ""))
-            .list.unique()
-            .list.sort()
-        )
+        toks = _prep_tokens(t["text"])
         tok_arr = toks.to_arrow()
         if _pa.types.is_large_list(tok_arr.type):
             tok_arr = tok_arr.cast(_pa.list_(_pa.string()))
@@ -1309,16 +1300,41 @@ def _q_payload_metadata(sf_dir: str):
 
 
 def _q_image_features_stub(sf_dir: str):
+    """Image featurize-stage plumbing, EXPLODED to (id, lane, f) so every
+    feature VALUE is oracle-checked: the fake decode kernel draws lanes
+    from the engine's SQL-replayable hash family
+    (splitmix64(fnv1a(payload) + (lane+1)*golden), see
+    ImageFeatureExtractor._fake_feature_matrix), so the full chain —
+    actor-pool stage, schema, and kernel — has an exact DuckDB replay."""
+    import numpy as _np
+    import pyarrow as pa
+
     import ray.data
 
     from record_linkage_ldu_ray.stages.multimodal import extract_image_features
 
-    return extract_image_features(
+    out = extract_image_features(
         ray.data.read_parquet(f"{sf_dir}/documents.parquet"),
         "doc_id",
         "text",
         mode="fake",  # deterministic fake decode; real decode is stubbed
     )
+
+    def _explode(t: pa.Table) -> pa.Table:
+        feats = t["features"].combine_chunks()
+        dim = feats.type.list_size
+        vals = feats.flatten().to_numpy(zero_copy_only=False).astype(_np.float64)
+        ids = _np.repeat(t["id"].to_numpy(zero_copy_only=False), dim)
+        lanes = _np.tile(_np.arange(dim, dtype=_np.int64), len(t))
+        return pa.table(
+            {
+                "id": pa.array(ids, pa.int64()),
+                "lane": pa.array(lanes, pa.int64()),
+                "f": pa.array(vals, pa.float64()),
+            }
+        )
+
+    return out.map_batches(_explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_image_resize_stub(sf_dir: str):
@@ -3826,6 +3842,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(512 AS BIGINT) END AS thumb_bytes
             FROM documents
         """,
+        # image_features_stub: the fake decode kernel itself is replayed —
+        # lane d of payload p is splitmix64(fnv1a(p) + (d+1)*golden),
+        # mapped to [-1, 1) by (u >> 11) / 2^52 - 1 (exact in double),
+        # rounded once through FLOAT like the stage's float32 features
+        "image_features_stub": "WITH RECURSIVE "
+        + "imdt AS (SELECT DISTINCT text FROM documents),"
+        + _fnv_fold_sql("imdt", "text", "imf", "imtf")
+        + ","
+        + _sm_sql("imtf", "text", "h", "imsm", "imh0", "h0")
+        + ","
+        + """
+            imlanes AS (SELECT unnest(range(16)) AS lane),
+            imlv AS (SELECT text, lane,
+                     ((h0::UHUGEINT
+                       + (lane + 1)::UHUGEINT * 11400714819323198485::UHUGEINT)
+                      % 18446744073709551616::UHUGEINT)::UBIGINT AS v
+                     FROM imh0 CROSS JOIN imlanes),
+        """
+        + _sm_sql("imlv", "text, lane", "v", "imls", "imu", "u")
+        + """
+            SELECT d.doc_id AS id, f.lane,
+                   CAST(CAST((f.u >> 11)::DOUBLE / 4503599627370496.0 - 1.0
+                        AS FLOAT) AS DOUBLE) AS f
+            FROM documents d JOIN imu f USING (text)
+        """,
         "audio_features_stub": """
             SELECT doc_id AS id, CAST(16 AS BIGINT) AS feature_dim,
                    CASE WHEN text IS NULL THEN CAST(0.0 AS FLOAT)
@@ -4036,7 +4077,6 @@ def oracle_sql() -> dict[str, str]:
                OR (ts_sim >= 0.8 AND nturns_sim >= 0.8 AND est >= 0.9)
                OR (jac_text >= 1.0 OR jw_text >= 1.0)
         """,
-        # image_features_stub: model-stub pipeline — rows-only by design.
         # link_increment's DEFAULT matcher (link_datasets over the delta,
         # a multi-stage float DAG) stays rows-only; the injected-matcher
         # variant below proves the assignment rule oracle-exact.

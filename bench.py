@@ -418,10 +418,27 @@ def main() -> None:
     # per-leg walls are short enough that the per-invocation constant
     # (aggregator spawn + scheduling waves, ~6 s/stage, data- and
     # CPU-independent) dominates small corpora and masks the scalable term
-    ap.add_argument("--e2e-reps", dest="e2e_reps", type=int, default=3)
+    ap.add_argument(
+        "--e2e-reps",
+        dest="e2e_reps",
+        type=int,
+        default=3,
+        help="full-flagship repetitions per CPU level in --scaling mode "
+        "(default 3, the criterion artifact protocol; remaining --reps "
+        "legs run only the scoring-stage probe)",
+    )
     # None → 8× corpus for --scaling (the criterion artifact shape), 1×
     # for the per-round headline run (round-over-round comparability)
-    ap.add_argument("--mult", type=float, default=None)
+    ap.add_argument(
+        "--mult",
+        type=float,
+        default=None,
+        help="corpus size multiplier; default is MODE-DEPENDENT: 8.0 with "
+        "--scaling (criterion artifact protocol, amortizes the "
+        "per-invocation fixed cost) and 1.0 otherwise (round-over-round "
+        "headline comparability) — pass --mult explicitly to compare "
+        "against runs recorded before round 4",
+    )
     args = ap.parse_args()
 
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")

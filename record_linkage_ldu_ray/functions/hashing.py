@@ -21,7 +21,9 @@ def _as_single_array(arr) -> pa.Array:
         arr = arr.combine_chunks()
     if not isinstance(arr, pa.Array):
         arr = pa.array(arr, type=pa.string())
-    if pa.types.is_large_string(arr.type):
+    # binary and string share the (offsets, data) buffer layout, so the
+    # byte fold below works on both — only the offset width differs
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
         off_dtype = np.int64
     else:
         off_dtype = np.int32

@@ -11,9 +11,23 @@ dispatch table as state.
 from __future__ import annotations
 
 import math
+import sys
 from difflib import SequenceMatcher
 
 import numpy as np
+
+# _lev_core packs 64 bool columns into one uint64 word per pair via
+# np.packbits(...).view(np.uint64); the view reassembles 8 bytes in HOST
+# byte order, so bitorder="little" is only correct on a little-endian
+# host.  Fail loudly at import rather than silently corrupt distances.
+if sys.byteorder != "little":  # pragma: no cover - no BE host in CI
+    raise ImportError(
+        "record_linkage_ldu_ray.functions.sim requires a little-endian "
+        "host: the bit-parallel Levenshtein kernel packs Eq masks with "
+        "np.packbits(bitorder='little').view(np.uint64), which assembles "
+        "bytes in host order.  Port _lev_core (byteswap after the view) "
+        "before running on big-endian."
+    )
 
 
 def ratcliff_obershelp(s1: str, s2: str) -> float:

@@ -173,9 +173,33 @@ def dedup_keep_best(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col: st
 
 
 def _ws_token_lists(texts: pa.ChunkedArray | pa.Array) -> pl.Series:
-    """Whitespace tokenization → list<string> (vectorized)."""
+    """Whitespace tokenization → list<string> (vectorized), SEQUENCE
+    semantics: splitting "" yields the single-element list [""], exactly
+    like DuckDB's ``string_split``.  Only positional consumers (shingle
+    windows, token counts, packing) that replay the same artifact in
+    their SQL oracles may call this directly — every token-SET builder
+    (Jaccard, blocking keys, vocab) MUST go through ``_prep_tokens``,
+    which drops the empty-string artifact to match the oracles'
+    ``list_filter(..., x -> x <> '')``."""
     s = pl.from_arrow(texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts)
     return s.str.strip_chars().str.replace_all(r"\s+", " ").str.split(" ")
+
+
+def _prep_tokens(
+    texts: pa.ChunkedArray | pa.Array, *, unique: bool = True
+) -> pl.Series:
+    """Canonical token-set preparation for EVERY set-semantics tokenizing
+    pipeline: whitespace split, drop the empty-string artifact of
+    splitting "" (so an all-whitespace document has an EMPTY token set,
+    matching the SQL oracles' non-empty-token filter), then sorted-unique.
+
+    New operators that compare token sets must call this — not
+    ``_ws_token_lists`` — so the engine-vs-oracle empty-token divergence
+    cannot be reintroduced."""
+    toks = _ws_token_lists(texts).list.eval(pl.element().filter(pl.element() != ""))
+    if unique:
+        toks = toks.list.unique().list.sort()
+    return toks
 
 
 def _triangle_pairs_sorted(group_ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -286,8 +310,8 @@ def jaccard_dup_pairs(
 
     def _score(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
-        toks = _ws_token_lists(t[text_col])
-        df = df.with_columns(toks.list.unique().list.sort().alias("_toks"))
+        toks = _prep_tokens(t[text_col])
+        df = df.with_columns(toks.alias("_toks"))
         if max_block_records is not None and len(df):
             keep_rows = _oversized_block_keep_mask(
                 df, block_col, max_block_records, "jaccard_dup_pairs"
@@ -431,6 +455,8 @@ def _shingle_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
     Returns (flat_hashes, offsets).  Rolling combine over token hashes —
     vectorized across the whole batch, no per-row Python.
     """
+    # sequence semantics, NOT a token set: the SQL oracle replays the same
+    # unfiltered string_split positions (see _ws_token_lists docstring)
     toks = _ws_token_lists(texts)
     arr = toks.to_arrow()
     if pa.types.is_large_list(arr.type):
@@ -607,6 +633,8 @@ def simhash_signatures(ds: "ray.data.Dataset", id_col: str = "doc_id", text_col:
     weighted).  Output: (doc_id, simhash: uint64)."""
 
     def _simhash(t: pa.Table) -> pa.Table:
+        # sequence semantics, NOT a token set: the recursive-CTE SQL oracle
+        # replays the same unfiltered split (see _ws_token_lists docstring)
         toks = _ws_token_lists(t[text_col])
         arr = toks.to_arrow()
         if pa.types.is_large_list(arr.type):
@@ -1683,6 +1711,8 @@ def curate_documents(
     mod = np.int64(bench_mod)
 
     def _filter(t: pa.Table) -> pa.Table:
+        # sequence COUNT semantics, NOT a token set: the SQL oracle counts
+        # len(string_split(...)) unfiltered (see _ws_token_lists docstring)
         toks = _ws_token_lists(t["text"]).list.len().to_numpy().astype(np.int64)
         ids = t["doc_id"].to_numpy()
         bad = ray.get(bad_ref)
@@ -1977,15 +2007,7 @@ def blocking_quality(
             .str.replace_all(r"\s+", "")
             .str.slice(0, key_len)
         )
-        # drop the empty-string artifact of splitting "" so an all-
-        # whitespace document has an EMPTY token set, matching the SQL
-        # oracle's non-empty-token filter (same guard as jaccard_join_all)
-        toks = (
-            _ws_token_lists(t[text_col])
-            .list.eval(pl.element().filter(pl.element() != ""))
-            .list.unique()
-            .list.sort()
-        )
+        toks = _prep_tokens(t[text_col])
         tok_arr = toks.to_arrow()
         if pa.types.is_large_list(tok_arr.type):
             tok_arr = tok_arr.cast(pa.list_(pa.string()))
@@ -2117,8 +2139,8 @@ def cluster_cohesion_report(
         if len(t) == 0:
             return out_schema.empty_table()
         df = pl.from_arrow(t.select([id_col, "rep_id", text_col]))
-        toks = _ws_token_lists(t[text_col])
-        df = df.with_columns(toks.list.unique().list.sort().alias("_toks"))
+        toks = _prep_tokens(t[text_col])
+        df = df.with_columns(toks.alias("_toks"))
         pairs = _pairs_within_groups(df, "rep_id", id_col)
         if len(pairs) == 0:
             return out_schema.empty_table()
@@ -2278,15 +2300,7 @@ def jaccard_join_all(
     P = default_num_parts() if num_parts is None else num_parts
 
     def _prep(t: pa.Table) -> pa.Table:
-        # drop the empty-string artifact of splitting "" so an all-
-        # whitespace document has an EMPTY token set (matching the SQL
-        # oracle's non-empty-token filter) rather than {""}
-        toks = (
-            _ws_token_lists(t[text_col])
-            .list.eval(pl.element().filter(pl.element() != ""))
-            .list.unique()
-            .list.sort()
-        )
+        toks = _prep_tokens(t[text_col])
         tok_arr = toks.to_arrow()
         if pa.types.is_large_list(tok_arr.type):
             tok_arr = tok_arr.cast(pa.list_(pa.string()))

@@ -119,24 +119,47 @@ class ImageFeatureExtractor(_PayloadActorStage):
     MODALITY = "image"
     REQUIRES = "PIL/opencv"
     OUTPUT_DIM = 16
+    _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
     def __init__(self, mode: str = "strict", feature_dim: int = OUTPUT_DIM):
         super().__init__(mode)
         self.dim = feature_dim
 
-    def _fake_features(self, payload: bytes) -> np.ndarray:
-        return self._rng_for(payload).standard_normal(self.dim).astype(np.float32)
+    def _fake_feature_matrix(self, col: pa.Array) -> np.ndarray:
+        """Deterministic fake features from the engine's SQL-replayable
+        hash family (NOT a PCG64 stream): lane d of payload p is
+
+            u = splitmix64((fnv1a(p) + (d+1) * golden) mod 2^64)
+            f = float32((u >> 11) / 2^52 - 1)        # exact in double
+
+        — FNV-1a over the payload bytes and the splitmix64 finalizer are
+        the same kernels every oracle path replays in DuckDB
+        (functions/hashing.py), so this stub has an EXACT SQL oracle
+        (oracle_sql()['image_features_stub']).  Vectorized: one hash pass
+        over the batch + one splitmix over an (n, dim) lane matrix.
+        Null payloads keep the zero-vector contract."""
+        from record_linkage_ldu_ray.functions.hashing import (
+            fnv1a_hash_strings,
+            splitmix64,
+        )
+
+        h0 = fnv1a_hash_strings(col)
+        lanes = (np.arange(self.dim, dtype=np.uint64) + np.uint64(1)) * self._GOLDEN
+        with np.errstate(over="ignore"):
+            mixed = splitmix64(h0[:, None] + lanes[None, :])
+        feats = (
+            (mixed >> np.uint64(11)).astype(np.float64) / float(1 << 52) - 1.0
+        ).astype(np.float32)
+        nulls = np.asarray(col.is_null())
+        if nulls.any():
+            feats[nulls] = 0.0
+        return feats
 
     def __call__(self, t: pa.Table) -> pa.Table:
         if self.mode == "strict":
             self._strict_raise()
         col = self._payload_col(t)
-        feats = np.stack(
-            [
-                self._fake_features(v) if v is not None else np.zeros(self.dim, np.float32)
-                for v in col.to_pylist()
-            ]
-        )
+        feats = self._fake_feature_matrix(col)
         return pa.table(
             {
                 "id": t["id"],

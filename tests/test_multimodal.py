@@ -114,3 +114,43 @@ class TestFakeKernels:
         per = out.groupby("id")["frame_idx"].apply(lambda s: sorted(s))
         assert all(list(v) == [0, 1, 2] for v in per)
         assert all(len(f) == 256 for f in out["frame"])
+
+
+class TestImageFakeKernelOracleParity:
+    """The fake image decode is splitmix64(fnv1a(payload) + (d+1)*golden)
+    mapped to [-1, 1) — pinned here against a scalar pure-Python replay so
+    the SQL oracle (oracle_sql()['image_features_stub']) and the kernel
+    can't drift apart silently."""
+
+    @staticmethod
+    def _scalar_lane(payload: bytes, d: int) -> np.float32:
+        M = (1 << 64) - 1
+
+        def sm(z):
+            z = (z + 0x9E3779B97F4A7C15) & M
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & M
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & M
+            return z ^ (z >> 31)
+
+        h = 0xCBF29CE484222325
+        for b in payload:
+            h = ((h ^ b) * 0x100000001B3) & M
+        h0 = sm(h)
+        u = sm((h0 + (d + 1) * 0x9E3779B97F4A7C15) & M)
+        return np.float32((u >> 11) / float(1 << 52) - 1.0)
+
+    def test_matches_scalar_replay(self):
+        payloads = [b"", b"a", "café au lait".encode(), b"\x00\xff" * 40]
+        col = pa.array(payloads, pa.large_binary())
+        stage = ImageFeatureExtractor(mode="fake")
+        feats = stage._fake_feature_matrix(col)
+        assert feats.dtype == np.float32 and feats.shape == (4, 16)
+        for i, p in enumerate(payloads):
+            for d in range(16):
+                assert feats[i, d] == self._scalar_lane(p, d)
+        assert (np.abs(feats) <= 1.0).all()
+
+    def test_null_payload_zero_vector(self):
+        col = pa.array([None, b"x"], pa.large_binary())
+        feats = ImageFeatureExtractor(mode="fake")._fake_feature_matrix(col)
+        assert (feats[0] == 0).all() and not (feats[1] == 0).all()
