@@ -4077,9 +4077,43 @@ def oracle_sql() -> dict[str, str]:
                OR (ts_sim >= 0.8 AND nturns_sim >= 0.8 AND est >= 0.9)
                OR (jac_text >= 1.0 OR jw_text >= 1.0)
         """,
-        # link_increment's DEFAULT matcher (link_datasets over the delta,
-        # a multi-stage float DAG) stays rows-only; the injected-matcher
-        # variant below proves the assignment rule oracle-exact.
+        # link_increment with its DEFAULT matcher, fully replayed: the
+        # matcher is exactly bipartite_linkage's proven SQL (flagship
+        # features + cross-side key collisions + the cross 4-mask rule),
+        # composed with the assignment rule proven by link_increment_exact
+        # (min-matched-existing inheritance over STRING cluster ids,
+        # fresh singleton otherwise).  Existing clusters are identity
+        # (cluster = own conv_id), matching the query fixture.
+        "link_increment": "WITH RECURSIVE "
+        + _flagship_feats
+        + """,
+            cand2 AS (
+              SELECT x.doc_id AS da, y.doc_id AS db
+              FROM allk x JOIN allk y ON x.key = y.key
+              WHERE (x.doc_id // 20) % 2 = 0 AND (y.doc_id // 20) % 2 = 1
+              GROUP BY x.doc_id, y.doc_id),
+            pairs AS (SELECT da, db FROM cand2),"""
+        + _flagship_pairs
+        + """,
+            limatched AS (
+              SELECT conv_a, conv_b FROM fx
+              WHERE ((jw_text >= 0.95 OR jac_text >= 0.6)
+                     AND (jw_role >= 0.8 OR jw_tool >= 0.8))
+                 OR (ts_sim >= 0.9 AND nturns_sim >= 0.9 AND est >= 0.7)
+                 OR (ts_sim >= 0.8 AND nturns_sim >= 0.8 AND est >= 0.9)
+                 OR (jac_text >= 1.0 OR jw_text >= 1.0)),
+            liinherit AS (
+              SELECT conv_b AS conv_id, min(conv_a) AS cid
+              FROM limatched GROUP BY conv_b)
+            SELECT d.conv_id,
+                   coalesce(i.cid, d.conv_id) AS cluster_id,
+                   i.cid IS NULL AS is_new_cluster
+            FROM (SELECT 'doc-' || CAST(doc_id AS VARCHAR) AS conv_id
+                  FROM documents WHERE (doc_id // 20) % 2 = 1) d
+            LEFT JOIN liinherit i USING (conv_id)
+        """,
+        # injected-matcher variant: proves the assignment rule in
+        # isolation under an SQL-trivial matcher (token-set Jaccard)
         "link_increment_exact": f"""
             WITH toks AS (
               SELECT doc_id, source, list_distinct({_WS_WORDS}) AS w
