@@ -2255,30 +2255,33 @@ def jaccard_join_all(
     candidates only if it survives into prefixes, and the globally
     frequent tokens never do.
 
-    Scale shape: (1) DF pass — per-batch distinct-token partials → one
-    hash exchange; each partition holds GLOBAL df totals for its hash
-    range and drops df=1 tokens THERE, so the driver merges and
-    broadcasts only the df>=2 vocabulary (``ray.put`` once).  The
-    pruning is exact, not approximate: a df=1 token occurs in exactly
-    one document corpus-wide, so it can never be shared by a pair —
-    never a candidate generator, never a pair's first-common prefix
-    token.  Absent tokens default to rank df=1 in the emission stage
-    (the "default-rank rule"), keeping every record's rarity order and
-    prefix length identical to the unpruned computation.  In a real
-    rare-token-rich corpus the df=1 hapax mass is the BULK of the
-    vocabulary (roughly half, by Zipf), so the broadcast is bounded by
-    the repeated-token vocabulary, not the corpus;
-    ``metrics["df_broadcast_tokens"]`` records the size actually
-    shipped; (2) prefix emission — per-row rarity sort is
-    one lexsort over the batch, each record emits only its df>=2
-    prefix tokens (payload = the record's hash list; df=1 prefix
+    Scale shape — the driver never sees the vocabulary (O(1) driver
+    memory; no broadcast at all): (1) DF-join exchange — the distinct
+    (record, token-hash) occurrence stream is hash-exchanged on the
+    token; each partition owns every occurrence of its hash range, so
+    the GLOBAL df of each token is just its group size there, and the
+    df rides back attached to each occurrence row.  (2) record
+    rebuild — ONE exchange of the (rid, h, df) stream on the record id
+    co-locates each record's occurrences; per-record token lists and
+    rarity ranks are rebuilt vectorized in-partition.  df=1 hapax
+    pruning stays exact and partition-local: a df=1 token occurs in
+    exactly one document corpus-wide, so it can never be shared by a
+    pair — never a candidate generator, never a pair's first-common
+    prefix token — and it is dropped from prefix emission (tokens keep
+    their df for the rarity ORDER, identical to the unpruned
+    computation).  ``metrics["df_vocab_tokens"]`` /
+    ``["df_vocab_bytes"]`` record the df>=2 vocabulary size, summed
+    from per-partition counts (an O(partitions) driver aggregate, not
+    a fold of the vocabulary).  (3) prefix emission — per-row rarity
+    sort is one lexsort over the partition, each record emits only its
+    df>=2 prefix tokens (payload = the record's hash list; df=1 prefix
     tokens would land in singleton buckets, so skipping them also cuts
     the exchange volume by the hapax share of every prefix);
-    (3) ONE exchange on the prefix token co-locates candidate
+    (4) ONE exchange on the prefix token co-locates candidate
     buckets; within a bucket the triangle is enumerated vectorized and
-    verified with the exact float64 Jaccard merge kernel; (4) a narrow
-    (id_a, id_b, jaccard) exchange dedupes pairs found under several
-    prefix tokens.  The float ceil is epsilon-guarded so e.g.
+    verified with the exact float64 Jaccard merge kernel; ownership by
+    the pair's first common prefix token makes each pair verified
+    exactly once.  The float ceil is epsilon-guarded so e.g.
     ``0.4 * 5 = 2.0000000000000004`` still yields the mathematically
     correct overlap bound (a too-large bound would DROP true pairs).
 
@@ -2299,7 +2302,9 @@ def jaccard_join_all(
 
     P = default_num_parts() if num_parts is None else num_parts
 
-    def _prep(t: pa.Table) -> pa.Table:
+    def _prep_occ(t: pa.Table) -> pa.Table:
+        """Distinct (rid, token-hash) occurrence stream — the only thing
+        that leaves the tokenize stage; raw text never shuffles."""
         toks = _prep_tokens(t[text_col])
         tok_arr = toks.to_arrow()
         if pa.types.is_large_list(tok_arr.type):
@@ -2307,77 +2312,80 @@ def jaccard_join_all(
         offsets = tok_arr.offsets.to_numpy().astype(np.int64)
         flat = fnv1a_hash_strings(tok_arr.flatten())
         lens = offsets[1:] - offsets[:-1]
-        parents = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        flat = flat[np.lexsort((flat, parents))]
-        hashes = pa.LargeListArray.from_arrays(
-            pa.array(offsets, pa.int64()), pa.array(flat, pa.uint64())
-        )
-        return pa.table({id_col: t[id_col], "hashes": hashes})
-
-    # materialized once: (id, token-hash list) is the tokenized corpus —
-    # far smaller than raw text — and BOTH the DF pass and the prefix
-    # pass consume it; leaving it lazy re-tokenizes the corpus twice
-    prep = ds.select_columns([id_col, text_col]).map_batches(
-        _prep, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
-
-    # ---- pass 1: document frequencies over token hashes -------------------
-    def _df_partial(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table(
-                {"h": pa.array([], pa.uint64()), "df": pa.array([], pa.int64())}
-            )
-        arr = t["hashes"].combine_chunks()
-        off = arr.offsets.to_numpy().astype(np.int64)
-        flat = arr.values.to_numpy().astype(np.uint64)[off[0]: off[-1]]
-        uniq, cnt = np.unique(flat, return_counts=True)  # per-doc distinct
-        return pa.table(
-            {"h": pa.array(uniq, pa.uint64()), "df": pa.array(cnt, pa.int64())}
-        )
-
-    def _df_merge(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table(
-                {"h": pa.array([], pa.uint64()), "df": pa.array([], pa.int64())}
-            )
-        h = t["h"].combine_chunks().to_numpy()
-        d = t["df"].combine_chunks().to_numpy()
-        uniq, inv = np.unique(h, return_inverse=True)
-        tot = np.bincount(inv, weights=d).astype(np.int64)
-        # this partition owns its hash range after the exchange, so `tot`
-        # is the GLOBAL df — prune the df=1 hapax mass here, before any
-        # bytes head for the driver (exact: a df=1 token lives in one
-        # document and can never generate or own a candidate pair)
-        keep = tot >= 2
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "h": pa.array(uniq[keep], pa.uint64()),
-                "df": pa.array(tot[keep], pa.int64()),
+                "rid": pa.array(np.repeat(ids, lens), pa.int64()),
+                "h": pa.array(flat, pa.uint64()),
             }
         )
 
-    df_parts = partitioned_map(prep.map_batches(
-        _df_partial, batch_format="pyarrow", zero_copy_batch=True
-    ), ["h"], P, _df_merge)
-    hs, dfs = [], []
-    for b in df_parts.iter_batches(batch_format="pyarrow"):
-        if "h" in b.schema.names and len(b):
-            hs.append(b["h"].to_numpy())
-            dfs.append(b["df"].to_numpy())
-    if hs:
-        h_all = np.concatenate(hs)
-        df_all = np.concatenate(dfs).astype(np.int64)
-        order = np.argsort(h_all)
-        h_all, df_all = h_all[order], df_all[order]
-    else:
-        h_all = np.empty(0, np.uint64)
-        df_all = np.empty(0, np.int64)
-    if metrics is not None:
-        metrics["df_broadcast_tokens"] = int(len(h_all))
-        metrics["df_broadcast_bytes"] = int(h_all.nbytes + df_all.nbytes)
-    df_ref = ray.put((h_all, df_all))
+    occ = ds.select_columns([id_col, text_col]).map_batches(
+        _prep_occ, batch_format="pyarrow", zero_copy_batch=True
+    )
 
-    # ---- pass 2: emit prefix tokens ---------------------------------------
+    # ---- pass 1: global df joined onto each occurrence, in-partition ------
+    def _df_join(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "rid": pa.array([], pa.int64()),
+                "h": pa.array([], pa.uint64()),
+                "df": pa.array([], pa.int64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        h = t["h"].combine_chunks().to_numpy()
+        rid = t["rid"].combine_chunks().to_numpy()
+        # this partition owns every occurrence of its hash range, so a
+        # token's group size IS its global df (occurrences are per-doc
+        # distinct) — the "rank join" happens here, never on the driver
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        counts = np.diff(np.r_[starts, len(hs)])
+        df = np.empty(len(hs), np.int64)
+        df[order] = np.repeat(counts, counts)
+        return pa.table(
+            {
+                "rid": pa.array(rid, pa.int64()),
+                "h": pa.array(h, pa.uint64()),
+                "df": pa.array(df, pa.int64()),
+            }
+        )
+
+    # materialized: consumed by the per-partition vocab counters AND the
+    # record-rebuild exchange; blocks live in the (spillable) object
+    # store, the driver holds only references
+    rank = partitioned_map(occ, ["h"], P, _df_join).materialize()
+
+    if metrics is not None:
+        # df>=2 vocabulary size, counted per partition (each token hash
+        # lives wholly in one partition block) and summed — an
+        # O(partitions) driver aggregate; the vocabulary itself never
+        # reaches the driver and is never broadcast
+        def _vocab_stats(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                n_tok = 0
+            else:
+                hh = t["h"].combine_chunks().to_numpy()
+                dd = t["df"].combine_chunks().to_numpy()
+                n_tok = int(len(np.unique(hh[dd >= 2])))
+            return pa.table(
+                {
+                    "tokens": pa.array([n_tok], pa.int64()),
+                    "bytes": pa.array([n_tok * 16], pa.int64()),
+                }
+            )
+
+        stats = rank.map_batches(
+            _vocab_stats, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        ).sum(["tokens", "bytes"])
+        stats = stats or {"sum(tokens)": 0, "sum(bytes)": 0}
+        metrics["df_vocab_tokens"] = int(stats["sum(tokens)"])
+        metrics["df_vocab_bytes"] = int(stats["sum(bytes)"])
+
+    # ---- pass 2: rebuild records, emit prefix tokens ----------------------
     def _emit(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -2389,25 +2397,27 @@ def jaccard_join_all(
         )
         if len(t) == 0:
             return empty
-        hv, dv = ray.get(df_ref)  # df>=2 vocabulary only (pruned upstream)
-        arr = t["hashes"].combine_chunks()
-        off = arr.offsets.to_numpy().astype(np.int64)
-        flat = arr.values.to_numpy().astype(np.uint64)[off[0]: off[-1]]
-        off = off - off[0]
-        lens = off[1:] - off[:-1]
-        n = len(t)
+        rid_all = t["rid"].combine_chunks().to_numpy()
+        h_all = t["h"].combine_chunks().to_numpy()
+        df_all = t["df"].combine_chunks().to_numpy()
+        # this partition owns every occurrence of its record-id range:
+        # rebuild each record's sorted token-hash list + df vector
+        order0 = np.lexsort((h_all, rid_all))
+        flat = h_all[order0]
+        tok_df = df_all[order0]
+        rid_sorted = rid_all[order0]
+        new_rec = np.r_[True, rid_sorted[1:] != rid_sorted[:-1]]
+        ids = rid_sorted[new_rec]
+        n = len(ids)
+        rec_starts = np.flatnonzero(new_rec)
+        lens = np.diff(np.r_[rec_starts, len(rid_sorted)])
+        off = np.zeros(n + 1, np.int64)
+        np.cumsum(lens, out=off[1:])
         parents = np.repeat(np.arange(n, dtype=np.int64), lens)
-        # default-rank rule: tokens absent from the pruned broadcast have
-        # df=1 by construction — assign it explicitly so the rarity order
-        # (and hence each record's prefix) is IDENTICAL to the unpruned
-        # computation
-        if len(hv):
-            idx = np.minimum(np.searchsorted(hv, flat), len(hv) - 1)
-            found = hv[idx] == flat
-            tok_df = np.where(found, dv[idx], np.int64(1))
-        else:
-            found = np.zeros(len(flat), bool)
-            tok_df = np.ones(len(flat), np.int64)
+        arr = pa.LargeListArray.from_arrays(
+            pa.array(off, pa.int64()), pa.array(flat, pa.uint64())
+        )
+        found = tok_df >= 2
         # rarity order within each row: (parent, df asc, hash asc)
         order = np.lexsort((flat, tok_df, parents))
         pos = np.arange(len(flat), dtype=np.int64) - np.repeat(
@@ -2435,7 +2445,6 @@ def jaccard_join_all(
         pfx_list = pa.LargeListArray.from_arrays(
             pa.array(pfx_offsets, pa.int64()), pa.array(flat[sel], pa.uint64())
         )
-        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "ph": pa.array(flat[sel], pa.uint64()),
@@ -2445,7 +2454,7 @@ def jaccard_join_all(
             }
         )
 
-    keyed = prep.map_batches(_emit, batch_format="pyarrow", zero_copy_batch=True)
+    keyed = partitioned_map(rank, ["rid"], P, _emit)
 
     # ---- pass 3: bucket verification --------------------------------------
     pair_schema = pa.schema(

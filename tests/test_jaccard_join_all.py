@@ -81,14 +81,15 @@ class TestJaccardJoinAll:
         assert _run(["", "", "x"], 0.5) == _brute(["", "", "x"], 0.5)
 
 
-class TestDfBroadcastPruning:
-    def test_broadcast_bounded_by_df2_vocab_on_hapax_heavy_corpus(
+class TestDfVocabPruning:
+    def test_counted_vocab_is_exactly_df2_on_hapax_heavy_corpus(
         self, ray_session
     ):
-        """The driver-broadcast vocabulary must contain EXACTLY the df>=2
-        tokens: on a planted hapax-heavy corpus (the realistic Zipf shape
-        where df=1 tokens dominate) the broadcast is a small fraction of
-        the distinct vocabulary, and the join stays brute-force exact."""
+        """The per-partition-counted vocabulary must contain EXACTLY the
+        df>=2 tokens: on a planted hapax-heavy corpus (the realistic Zipf
+        shape where df=1 tokens dominate) the df>=2 vocab is a small
+        fraction of the distinct vocabulary, and the join stays
+        brute-force exact."""
         from collections import Counter
 
         rng = np.random.default_rng(31)
@@ -124,13 +125,13 @@ class TestDfBroadcastPruning:
         )
         assert got == _brute(texts, 0.3)
         assert len(got) >= 2  # the planted duplicates were found
-        # exactness of the pruning bound: broadcast == df>=2 vocabulary
-        assert metrics["df_broadcast_tokens"] == n_df2
+        # exactness of the pruning bound: counted vocab == df>=2 vocabulary
+        assert metrics["df_vocab_tokens"] == n_df2
         # and the hapax mass (the part that would OOM a 100 TB driver)
-        # never ships: >90% of this corpus's vocabulary is df=1
-        assert metrics["df_broadcast_tokens"] < 0.1 * n_distinct
+        # is pruned partition-locally: >90% of this vocabulary is df=1
+        assert metrics["df_vocab_tokens"] < 0.1 * n_distinct
 
-    def test_all_hapax_corpus_broadcasts_nothing(self, ray_session):
+    def test_all_hapax_corpus_counts_zero_vocab(self, ray_session):
         texts = [f"only{i} tok{i}" for i in range(30)]
         metrics = {}
         ds = ray.data.from_arrow(
@@ -142,7 +143,7 @@ class TestDfBroadcastPruning:
             )
         )
         assert jaccard_join_all(ds, tau=0.5, metrics=metrics).count() == 0
-        assert metrics["df_broadcast_tokens"] == 0
+        assert metrics["df_vocab_tokens"] == 0
 
 
 class TestFirstCommonPositionHash:
@@ -168,3 +169,21 @@ class TestFirstCommonPositionHash:
                 a, b = lists[ii[k]], set(lists[jj[k]])
                 exp = next((v for v in a if v in b), 0)
                 assert got[k] == exp, (lists, ii[k], jj[k])
+
+
+class TestNoDriverVocabularyFold:
+    def test_no_driver_side_vocabulary_concat_or_broadcast(self):
+        """jaccard_join_all must keep the vocabulary OFF the driver: token
+        ranks are joined through the hash exchange (df = in-partition
+        group size), records are rebuilt through a rid exchange, and the
+        only driver-visible aggregate is the O(partitions) counter sum —
+        no iter_batches fold, no np.concatenate of the vocab, no ray.put
+        broadcast."""
+        import inspect
+
+        from record_linkage_ldu_ray.pipelines.docdedup import jaccard_join_all
+
+        src = inspect.getsource(jaccard_join_all)
+        assert "iter_batches" not in src
+        assert "ray.put" not in src
+        assert "np.concatenate" not in src
