@@ -37,6 +37,24 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1).rstrip(".")) if m else -1.0
 
 
+def _probe(n: int = 200_000) -> float | None:
+    """Host-contention probe reading (tools/probe_kernel.py): best-of-5
+    single-core JW-kernel pairs/s, zero Ray — recorded in every artifact so
+    quiet-window claims are machine-checkable against the observed range
+    (~102-107k pairs/s quiet on this box; ~11-17k under co-tenant load)."""
+    try:
+        import importlib.util
+
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "probe_kernel.py")
+        spec = importlib.util.spec_from_file_location("probe_kernel", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return round(mod.probe(n), 1)
+    except Exception:
+        return None
+
+
 def _consume(res) -> int:
     """Execute a lazy result and return its row count without pulling data
     to the driver (Dataset.count() streams; tables/frames are already
@@ -207,6 +225,7 @@ def _worker(sf_dir: str, num_cpus: int, flagship_only: bool, mult: float = 1.0) 
         },
     )
     os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
+    probe_before = _probe()
     try:
         flag = run_flagship(sf_dir, mult)
         queries = {} if flagship_only else bench_queries(sf_dir)
@@ -222,6 +241,7 @@ def _worker(sf_dir: str, num_cpus: int, flagship_only: bool, mult: float = 1.0) 
             "pairs_scored": flag["pairs_scored"],
             "pairs_per_s": round(flag["pairs_per_s"], 1),
             "rows_out": flag["rows_out"],
+            "probe_jw_pairs_per_s": probe_before,
         }
         if flagship_only:
             # scaling workers also probe the scoring exchange in isolation
@@ -324,6 +344,7 @@ def _scaling(
     end-to-end efficiency uses the same per-level-best protocol as the
     stage metric (one artifact covering both criteria).
     """
+    probe_before = _probe()
     stage_best = {lo: None, hi: None}
     stage_all = {lo: [], hi: []}
     e2e_best = {lo: None, hi: None}
@@ -383,6 +404,12 @@ def _scaling(
                     },
                 },
                 "pairs_scored": e2e_best[hi]["pairs_scored"],
+                # host-contention probe bracketing the whole run: both
+                # readings near the quiet maximum certify a quiet window
+                "probe_jw_pairs_per_s": {
+                    "before": probe_before,
+                    "after": _probe(),
+                },
             }
         ),
         file=_REAL_STDOUT,
