@@ -112,13 +112,22 @@ class PairScorer:
             gb = _gated(f"{v}_b")
             enc_b = pc.dictionary_encode(pc.fill_null(gb, ""))
             ib = enc_b.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            combo = ia * np.int64(len(enc_b.dictionary) + 1) + ib
-            _, rep, inv = np.unique(combo, return_index=True, return_inverse=True)
-            if len(rep) < len(combo):
-                rep_idx = pa.array(rep, pa.int64())
-                out = kern(ga.take(rep_idx), gb.take(rep_idx), max_len=max_len)[inv]
-            else:
+            # skip the dedup sort when it cannot win: |A|x|B| bounds the
+            # distinct-combo count from above, so with bound >= n the
+            # O(n log n) np.unique would mostly re-discover unique rows
+            # (mostly-unique relational text); hot near-duplicate blocks —
+            # the case dedup targets — have tiny dictionaries and take the
+            # dedup path as before
+            if len(enc_a.dictionary) * len(enc_b.dictionary) >= len(ia):
                 out = kern(ga, gb, max_len=max_len)
+            else:
+                combo = ia * np.int64(len(enc_b.dictionary) + 1) + ib
+                _, rep, inv = np.unique(combo, return_index=True, return_inverse=True)
+                if len(rep) < len(combo):
+                    rep_idx = pa.array(rep, pa.int64())
+                    out = kern(ga.take(rep_idx), gb.take(rep_idx), max_len=max_len)[inv]
+                else:
+                    out = kern(ga, gb, max_len=max_len)
             lb = pc.utf8_length(pc.fill_null(gb, "")).to_numpy(zero_copy_only=False)
             s = np.where((la > 0) & (lb > 0), out, np.float32(0.0)).astype(np.float32)
             best = s if best is None else np.maximum(best, s)
