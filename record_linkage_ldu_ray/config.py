@@ -208,6 +208,13 @@ class PipelineConfig:
     # the margin grows when 16 workers share L3 — per-row cost triples by
     # 16k rows where the working set spills to DRAM
     scorer_batch_size: int = 2048
+    # pair-stage streaming chunk: enumeration yields the 1-3 KB wide pair
+    # payload in slices of this many pairs (≤ ~0.2 GiB each), so a
+    # pair-heavy partition never materializes its full wide pair table in
+    # one task heap — the per-task bound that keeps 64× corpora from
+    # OOMing at full concurrency (measured at --mult 64 / 32 CPUs:
+    # whole-box peak 103 GiB at 131072, 94 GiB at 65536, same throughput)
+    pair_chunk_pairs: int = 65536
     normalize_batch_size: int = 65536
     max_unionfind_rounds: int = 12
     # connected-components driver fast path: after the local pre-contraction

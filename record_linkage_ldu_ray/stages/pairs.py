@@ -53,36 +53,52 @@ def _add_block_part(batch: pa.Table, num_parts: int) -> pa.Table:
     return batch.append_column("bpart", pa.array(part, pa.int32()))
 
 
-def _enumerate_part(
+def _pair_indices(
     tbl: pa.Table,
     cfg: PipelineConfig,
     dropped_keys: np.ndarray | None = None,
     cross_only: bool = False,
-) -> pa.Table:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Phase 1 of enumeration: all canonical surviving pair INDICES of the
+    partition plus their MinHash estimates — ~24 B/pair, so even a
+    pair-heavy partition's index set stays small; the 1-3 KB wide payload
+    is materialized later in bounded chunks (`_materialize_pairs`)."""
     n = len(tbl)
     bk = tbl["block_key"].to_numpy(zero_copy_only=False)
     conv = tbl["conv_id"]
     if isinstance(conv, pa.ChunkedArray):
         conv = conv.combine_chunks()
 
-    # narrow self-join: only (block_key, row idx, conv_id) participate
+    # narrow self-join on INTS only: canonical order (conv_id_a < conv_id_b,
+    # string order) is equivalently a DENSE string rank comparison (equal
+    # cids share a rank, so the strict < also kills self-replica pairs) —
+    # the join output carries ~36 B/row instead of two string columns
     df = pl.DataFrame(
         {
             "bk": bk,
             "idx": np.arange(n, dtype=np.int64),
             "cid": pl.from_arrow(conv),
         }
-    )
-    j = df.join(df, on="bk", suffix="_b").filter(pl.col("cid") < pl.col("cid_b"))
+    ).with_columns(pl.col("cid").rank("dense").cast(pl.UInt32).alias("rk"))
     if cross_only:
         # bipartite mode (pipelines.linkage): keys carry a 1-char side tag
-        # ('a:' < 'b:'), so cid < cid_b already orients A before B — keep
+        # ('a:' < 'b:'), so rk < rk_b already orients A before B — keep
         # only pairs whose sides DIFFER (the reference's cross-table index,
         # compare_ldu_hw.py:160-162)
-        j = j.filter(
-            pl.col("cid").str.slice(0, 1) != pl.col("cid_b").str.slice(0, 1)
+        df = df.with_columns(
+            (pl.col("cid").str.slice(0, 1) == "b").cast(pl.Int8).alias("side")
         )
-    j = j.select("idx", "idx_b")
+        j = (
+            df.select("bk", "idx", "rk", "side")
+            .join(df.select("bk", "idx", "rk", "side"), on="bk", suffix="_b")
+            .filter((pl.col("rk") < pl.col("rk_b")) & (pl.col("side") != pl.col("side_b")))
+        )
+    else:
+        j = (
+            df.select("bk", "idx", "rk")
+            .join(df.select("bk", "idx", "rk"), on="bk", suffix="_b")
+            .filter(pl.col("rk") < pl.col("rk_b"))
+        )
     ia = j["idx"].to_numpy()
     ib = j["idx_b"].to_numpy()
     k = cfg.minhash.num_perm
@@ -125,20 +141,40 @@ def _enumerate_part(
         ia, ib = ia[keep], ib[keep]
 
     if len(ia) == 0:
-        empty = {}
-        for s in _SIDE_COLS:
-            t = tbl.schema.field(s).type
-            empty[f"{s}_a"] = pa.array([], t)
-        for s in _SIDE_COLS:
-            empty[f"{s}_b"] = pa.array([], tbl.schema.field(s).type)
-        empty["minhash_est"] = pa.array([], pa.float32())
-        return pa.table(empty)
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, np.float32),
+        )
 
     # MinHash Jaccard estimate — signatures do NOT travel in pair rows
     sa, sb = sigs[ia], sigs[ib]
     est = (sa == sb).mean(axis=1).astype(np.float32)
     est[(sa[:, 0] == EMPTY_SENTINEL) | (sb[:, 0] == EMPTY_SENTINEL)] = 0.0
+    return ia, ib, est
 
+
+def _empty_pair_table(tbl: pa.Table) -> pa.Table:
+    empty = {}
+    for s in _SIDE_COLS:
+        empty[f"{s}_a"] = pa.array([], tbl.schema.field(s).type)
+    for s in _SIDE_COLS:
+        empty[f"{s}_b"] = pa.array([], tbl.schema.field(s).type)
+    empty["minhash_est"] = pa.array([], pa.float32())
+    return pa.table(empty)
+
+
+def _materialize_pairs(
+    tbl: pa.Table,
+    ia: np.ndarray,
+    ib: np.ndarray,
+    est: np.ndarray,
+    cfg: PipelineConfig,
+) -> pa.Table:
+    """Phase 2: gather the wide per-side payload for a bounded SLICE of the
+    partition's pair indices.  Heap per call is O(len(ia) × row width), so
+    callers chunk the index set and a pair-heavy partition never holds its
+    full wide pair table in memory."""
     # heavy payload only for pairs the scorer will actually read
     # (est ≥ floor); null indices make Table.take emit null rows
     inactive = est < np.float32(cfg.effective_est_floor())
@@ -165,6 +201,21 @@ def _enumerate_part(
     return pa.table(cols).select([f"{c}_a" for c in _SIDE_COLS] + [f"{c}_b" for c in _SIDE_COLS] + ["minhash_est"])
 
 
+def _enumerate_part(
+    tbl: pa.Table,
+    cfg: PipelineConfig,
+    dropped_keys: np.ndarray | None = None,
+    cross_only: bool = False,
+) -> pa.Table:
+    """Whole-partition enumeration in one table (tests / small paths; the
+    streaming stages chunk through `_pair_indices` + `_materialize_pairs`
+    instead)."""
+    ia, ib, est = _pair_indices(tbl, cfg, dropped_keys, cross_only)
+    if len(ia) == 0:
+        return _empty_pair_table(tbl)
+    return _materialize_pairs(tbl, ia, ib, est, cfg)
+
+
 def _dropped_key_array(dropped: dict | None) -> np.ndarray | None:
     """Driver-side dropped-block keys → int64 array shipped to enumeration
     tasks (tiny by construction: only keys above drop_block_records)."""
@@ -189,9 +240,21 @@ def generate_pairs(
         fn_kwargs={"num_parts": cfg.pair_partitions},
     )
     dk = _dropped_key_array(dropped)
+    chunk = max(int(cfg.pair_chunk_pairs), 1)
 
-    def _enum(tbl: pa.Table) -> pa.Table:
-        return _enumerate_part(tbl.drop_columns(["bpart"]), cfg, dk, cross_only)
+    def _enum(tbl: pa.Table):
+        # generator UDF: the wide pair payload leaves the task in bounded
+        # chunks instead of one whole-partition table (streaming heap)
+        tbl = tbl.drop_columns(["bpart"])
+        ia, ib, est = _pair_indices(tbl, cfg, dk, cross_only)
+        if len(ia) == 0:
+            yield _empty_pair_table(tbl)
+            return
+        for off in range(0, len(ia), chunk):
+            yield _materialize_pairs(
+                tbl, ia[off : off + chunk], ib[off : off + chunk],
+                est[off : off + chunk], cfg,
+            )
 
     from record_linkage_ldu_ray.runtime import partitioned_map
 
@@ -224,24 +287,37 @@ class EnumerateScorer:
         self.scorer = PairScorer(cfg)
         self.batch = cfg.scorer_batch_size
 
-    def __call__(self, tbl: pa.Table) -> pa.Table:
+    def __call__(self, tbl: pa.Table):
+        """Generator UDF: enumerate the partition's pair INDICES once
+        (~24 B/pair), then materialize + score the 1-3 KB wide payload in
+        ``cfg.pair_chunk_pairs`` slices, yielding narrow score tables as
+        they finish — task heap stays O(chunk), not O(partition pairs),
+        which is what keeps a 64× corpus at full concurrency inside the
+        box (and a 100 TB partition inside a worker)."""
         from record_linkage_ldu_ray.stages.scoring import SCORE_FEATURES
 
         if "bpart" in tbl.column_names:
             tbl = tbl.drop_columns(["bpart"])
-        pair_tbl = _enumerate_part(tbl, self.cfg, self.dropped_keys, self.cross_only)
-        if len(pair_tbl) == 0:
+        ia, ib, est = _pair_indices(tbl, self.cfg, self.dropped_keys, self.cross_only)
+        if len(ia) == 0:
             cols = {
                 "conv_id_a": pa.array([], pa.string()),
                 "conv_id_b": pa.array([], pa.string()),
             }
             for f in SCORE_FEATURES + ["total"]:
                 cols[f] = pa.array([], pa.float32())
-            return pa.table(cols)
-        outs = []
-        for off in range(0, len(pair_tbl), self.batch):
-            outs.append(self.scorer(pair_tbl.slice(off, self.batch)))
-        return pa.concat_tables(outs)
+            yield pa.table(cols)
+            return
+        chunk = max(int(self.cfg.pair_chunk_pairs), self.batch)
+        for off in range(0, len(ia), chunk):
+            pair_tbl = _materialize_pairs(
+                tbl, ia[off : off + chunk], ib[off : off + chunk],
+                est[off : off + chunk], self.cfg,
+            )
+            outs = []
+            for o in range(0, len(pair_tbl), self.batch):
+                outs.append(self.scorer(pair_tbl.slice(o, self.batch)))
+            yield outs[0] if len(outs) == 1 else pa.concat_tables(outs)
 
 
 def enumerate_and_score(
